@@ -1,0 +1,168 @@
+"""Frame construction: feature extraction + stereo association for one input.
+
+TPU-native analogue of the reference's Frame constructors
+(reference: src/Frame.cc:101 stereo ctor — dual-thread ORB extraction,
+ComputeStereoMatches :811-981, undistortion :747, grid assignment :385).
+
+Re-design: one jitted pipeline — batched L/R extraction (leading batch axis
+instead of std::threads), dense row-banded stereo matching (ops/matching),
+no grid structure (the dense masks in the matchers replace it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.ops import matching, orb
+from orb_slam3_vio_fixes_tpu.ops import image as image_ops
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+class FrameData(NamedTuple):
+    """Per-frame fixed-capacity feature arrays (N = orb config n_features)."""
+
+    uv: jax.Array          # (N, 2) level-0 pixel coords (left cam)
+    ur: jax.Array          # (N,) right-cam u (-1 mono / unmatched)
+    depth: jax.Array       # (N,) stereo depth (-1 unknown)
+    octave: jax.Array      # (N,) int32
+    angle: jax.Array       # (N,) float32
+    desc: jax.Array        # (N, 8) uint32
+    valid: jax.Array       # (N,) bool
+    ts: jax.Array          # scalar timestamp
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+SAD_W = 5       # SAD half-window (11x11 patches, like the reference)
+SAD_SLIDE = 5   # slide range +-5 (reference: const int L = 5)
+
+
+def sad_subpixel(img_l, img_r, uv_l, ur0, valid):
+    """Sub-pixel disparity refinement by sliding-SAD + parabola fit
+    (reference semantics: Frame::ComputeStereoMatches src/Frame.cc:890-960 —
+    11x11 SAD slid +-5 around the descriptor match, parabola through the best
+    three correlations, reject if the parabola peak leaves [-1, 1]).
+
+    Done on the level-0 images (the reference works at the keypoint's octave;
+    full-resolution is at least as accurate for levels > 0).
+    Returns refined ur (invalid -> -1).
+    """
+    h, w = img_l.shape
+    pad = SAD_W + SAD_SLIDE + 1
+    pl = jnp.pad(img_l, pad, mode="edge")
+    pr = jnp.pad(img_r, pad, mode="edge")
+    ui = jnp.round(uv_l[:, 0]).astype(jnp.int32)
+    vi = jnp.round(uv_l[:, 1]).astype(jnp.int32)
+    uri = jnp.round(ur0).astype(jnp.int32)
+
+    def gather(img, yc, xc, width):
+        def one(y, x):
+            return jax.lax.dynamic_slice(
+                img, (y + pad - SAD_W, x + pad - SAD_W), (2 * SAD_W + 1, width)
+            )
+        return jax.vmap(one)(yc, xc)
+
+    patch_l = gather(pl, vi, ui, 2 * SAD_W + 1)                      # (N, 11, 11)
+    strip_r = gather(pr, vi, uri - SAD_SLIDE, 2 * (SAD_W + SAD_SLIDE) + 1)  # (N, 11, 21)
+    # normalize by center intensity difference like the reference (it
+    # subtracts the central pixel of each window)
+    cl = patch_l[:, SAD_W, SAD_W][:, None, None]
+    sads = []
+    for off in range(2 * SAD_SLIDE + 1):
+        win = strip_r[:, :, off : off + 2 * SAD_W + 1]
+        cr = win[:, SAD_W, SAD_W][:, None, None]
+        sads.append(jnp.sum(jnp.abs((patch_l - cl) - (win - cr)), axis=(1, 2)))
+    sad = jnp.stack(sads, axis=1)  # (N, 11)
+    best = jnp.argmin(sad, axis=1)
+    interior = (best > 0) & (best < 2 * SAD_SLIDE)
+    bi = jnp.clip(best, 1, 2 * SAD_SLIDE - 1)
+    s0 = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
+    sm = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
+    sp = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
+    denom = sm + sp - 2.0 * s0
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (sm - sp) / (2.0 * denom), 0.0)
+    ok = valid & interior & (jnp.abs(delta) <= 1.0)
+    ur_ref = uri.astype(jnp.float32) + (bi.astype(jnp.float32) - SAD_SLIDE) + delta
+    # SAD-median outlier sweep (reference sweeps on the SAD correlation
+    # distance with 1.5*1.4*median, src/Frame.cc:962-980)
+    sad_best = s0
+    med = jnp.nanmedian(jnp.where(ok, sad_best, jnp.nan))
+    med = jnp.nan_to_num(med, nan=jnp.float32(1e9))
+    ok &= sad_best <= 2.1 * med
+    return jnp.where(ok, ur_ref, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_stereo_frame(
+    img_l: jax.Array,
+    img_r: jax.Array,
+    ts: jax.Array,
+    cam: Camera,
+    bf: jax.Array,
+    cfg: orb.ORBConfig,
+) -> FrameData:
+    """Extract ORB on both eyes and associate left->right along rows.
+
+    Disparity bounds follow the reference (Frame::ComputeStereoMatches:
+    minD=0, maxD=mbf/minZ with minZ=b, i.e. maxD=fx); the descriptor match is
+    then refined to sub-pixel by sliding SAD.
+    """
+    fl, fr = orb.extract_pair(img_l, img_r, cfg)
+    sf = image_ops.scale_factors(cfg.n_levels, cfg.scale)
+    baseline = bf / cam.fx
+    max_disp = bf / baseline  # = fx
+    ur, disp, dist = matching.stereo_row_match(
+        fl.uv, fl.valid, fl.desc, fl.octave,
+        fr.uv, fr.valid, fr.desc, fr.octave,
+        sf, jnp.float32(0.0), max_disp,
+    )
+    ur = sad_subpixel(img_l, img_r, fl.uv, ur, (disp > 0) & fl.valid)
+    disp = jnp.where(ur >= 0, fl.uv[:, 0] - ur, -1.0)
+    disp = jnp.where((ur >= 0) & (disp < 0.01), 0.01, disp)
+    depth = jnp.where(disp > 0, bf / jnp.maximum(disp, 1e-6), -1.0)
+    return FrameData(
+        uv=fl.uv, ur=jnp.where(disp > 0, ur, -1.0), depth=depth,
+        octave=fl.octave, angle=fl.angle, desc=fl.desc, valid=fl.valid,
+        ts=ts,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_mono_frame(
+    img: jax.Array, ts: jax.Array, cfg: orb.ORBConfig
+) -> FrameData:
+    f = orb.extract(img, cfg)
+    n = f.uv.shape[0]
+    return FrameData(
+        uv=f.uv,
+        ur=jnp.full(n, -1.0, jnp.float32),
+        depth=jnp.full(n, -1.0, jnp.float32),
+        octave=f.octave, angle=f.angle, desc=f.desc, valid=f.valid,
+        ts=ts,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_rgbd_frame(
+    img: jax.Array, depth_img: jax.Array, ts: jax.Array, cam: Camera, bf: jax.Array,
+    cfg: orb.ORBConfig,
+) -> FrameData:
+    """RGB-D: depth sampled at keypoint locations; synthetic right coordinate
+    ur = u - bf/z (reference: Frame::ComputeStereoFromRGBD src/Frame.cc:984)."""
+    f = orb.extract(img, cfg)
+    xi = jnp.clip(f.uv[:, 0].astype(jnp.int32), 0, depth_img.shape[1] - 1)
+    yi = jnp.clip(f.uv[:, 1].astype(jnp.int32), 0, depth_img.shape[0] - 1)
+    z = depth_img[yi, xi]
+    has_d = z > 0
+    ur = jnp.where(has_d, f.uv[:, 0] - bf / jnp.maximum(z, 1e-6), -1.0)
+    return FrameData(
+        uv=f.uv, ur=ur, depth=jnp.where(has_d, z, -1.0),
+        octave=f.octave, angle=f.angle, desc=f.desc, valid=f.valid,
+        ts=ts,
+    )

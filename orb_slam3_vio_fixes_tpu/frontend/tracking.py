@@ -1,0 +1,532 @@
+"""Stereo/RGB-D tracking front end: per-frame pose estimation state machine.
+
+TPU-native re-design of the reference's Tracking thread
+(reference: src/Tracking.cc — Track() state machine :1794-2332,
+StereoInitialization :2335, TrackWithMotionModel :2854 (SearchByProjection
+th=7 + PoseOptimization), TrackLocalMap :2949 (local-point search th schedule
+:3388-3413 + second optimization), NeedNewKeyFrame :3064-3214,
+CreateNewKeyFrame :3216 with close-stereo landmark spawning).
+
+Split of responsibilities:
+  * jitted kernels (this module's module-level functions): frame building,
+    projection matching, pose optimization, keyframe insertion with batched
+    landmark allocation, local BA — all fixed-shape;
+  * the `StereoTracker` host class: the state machine, motion model, keyframe
+    decision counters — a few scalars per frame, exactly the part of the
+    reference that is inherently sequential.
+
+The map is a functional `MapState` snapshot; tracking never mutates shared
+structures (no Map::mMutexMapUpdate equivalent needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.frontend.frame import FrameData, build_stereo_frame
+from orb_slam3_vio_fixes_tpu.ops import image as image_ops
+from orb_slam3_vio_fixes_tpu.ops import matching, orb
+from orb_slam3_vio_fixes_tpu.optim import ba_core
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, in_image, project, unproject
+
+
+class TrackerConfig(NamedTuple):
+    orb: orb.ORBConfig = orb.ORBConfig()
+    map: ms.MapConfig = ms.MapConfig()
+    width: int = 752
+    height: int = 480
+    max_local_lm: int = 4096       # local-map candidate budget per frame
+    ba_window: int = 8             # adjustable keyframes in local BA
+    ba_fixed: int = 4              # additional fixed anchor keyframes
+    th_depth_factor: float = 35.0  # close-point depth = factor * baseline
+    min_kf_inliers: int = 25       # lost threshold
+    kf_inlier_ratio: float = 0.75  # c2: inliers < ratio * ref (stereo 0.75)
+    max_frames_between_kf: int = 20
+    new_lm_budget: int = 512       # max landmarks created per keyframe
+
+
+def octave_inv_sigma2(cfg: orb.ORBConfig) -> jax.Array:
+    sf = image_ops.scale_factors(cfg.n_levels, cfg.scale)
+    return 1.0 / (sf * sf)
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def predict_scale(dist, maxdist, n_levels=8, log_scale=jnp.log(1.2)):
+    """Predicted pyramid octave from observation distance
+    (reference: MapPoint::PredictScale src/MapPoint.cc:514)."""
+    ratio = jnp.maximum(maxdist / jnp.maximum(dist, 1e-9), 1e-9)
+    lvl = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_previous(
+    state: ms.MapState,
+    prev_obs: jax.Array,      # (N,) landmark ids from the previous frame
+    prev_octave: jax.Array,   # (N,) octave at which each was seen
+    R_pred, t_pred,
+    frame: FrameData,
+    cam: Camera, bf,
+    th: jax.Array,            # search radius multiplier (reference: 7/15)
+    cfg: TrackerConfig,
+):
+    """Motion-model matching: project previous frame's landmarks with the
+    predicted pose, window-search in the new frame
+    (reference: TrackWithMotionModel src/Tracking.cc:2854-2947)."""
+    L = state.lm_pos.shape[0]
+    ids = jnp.clip(prev_obs, 0, L - 1)
+    has = (prev_obs >= 0) & state.lm_valid[ids]
+    X = state.lm_pos[ids]
+    Xc = jnp.einsum("ij,nj->ni", R_pred, X) + t_pred
+    uv = project(cam, Xc)
+    z = Xc[:, 2]
+    ur = uv[:, 0] - bf / jnp.maximum(z, 1e-6)
+    visible = has & (z > 0) & in_image(uv, cfg.width, cfg.height)
+    sf = image_ops.scale_factors(cfg.orb.n_levels, cfg.orb.scale)
+    radius = th * sf[jnp.clip(prev_octave, 0, cfg.orb.n_levels - 1)]
+    res = matching.search_by_projection(
+        uv, visible, state.lm_desc[ids], prev_octave, radius,
+        frame.uv, frame.valid, frame.desc, frame.octave,
+        proj_ur=ur, feat_ur=frame.ur,
+    )
+    # scatter: cur_obs[feature] = landmark id
+    N = frame.uv.shape[0]
+    cur_obs = jnp.full(N, -1, jnp.int32)
+    matched = res.idx >= 0
+    tgt = jnp.clip(res.idx, 0, N - 1)
+    cur_obs = cur_obs.at[tgt].set(jnp.where(matched, prev_obs, cur_obs[tgt]))
+    return cur_obs, jnp.sum(matched.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pose_opt_from_obs(
+    state: ms.MapState, R, t, frame: FrameData, cur_obs, cam: Camera, bf,
+    cfg: TrackerConfig,
+):
+    """Motion-only pose optimization over the frame's current landmark
+    bindings; clears outlier bindings (reference: PoseOptimization + the
+    outlier strip in Track())."""
+    L = state.lm_pos.shape[0]
+    ids = jnp.clip(cur_obs, 0, L - 1)
+    act = (cur_obs >= 0) & state.lm_valid[ids] & frame.valid
+    pts = state.lm_pos[ids]
+    uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+    inv_s2 = octave_inv_sigma2(cfg.orb)[jnp.clip(frame.octave, 0, cfg.orb.n_levels - 1)]
+    res = ba_core.pose_optimize(R, t, pts, uvr, inv_s2, act, cam, bf)
+    new_obs = jnp.where(res.inlier, cur_obs, -1)
+    return res.R, res.t, new_obs, res.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    state: ms.MapState,
+    R, t,
+    frame: FrameData,
+    cur_obs,
+    window_kfs,             # (W,) recent/covisible keyframe ids (-1 pad)
+    cam: Camera, bf,
+    th: jax.Array,
+    cfg: TrackerConfig,
+):
+    """Project the local map (landmarks of the window keyframes) and widen the
+    frame's bindings, then re-optimize the pose
+    (reference: TrackLocalMap src/Tracking.cc:2949-3062 + SearchLocalPoints
+    :3343-3413 with frustum checks in Frame::isInFrustum)."""
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    safe_w = jnp.clip(window_kfs, 0, K - 1)
+    w_ok = (window_kfs >= 0) & state.kf_valid[safe_w]
+    obs_rows = jnp.where(w_ok[:, None], state.kf_obs[safe_w], -1)  # (W, N)
+    cand_mask = jnp.zeros(L, bool).at[jnp.clip(obs_rows.reshape(-1), 0, L - 1)].max(
+        obs_rows.reshape(-1) >= 0
+    )
+    cand_mask &= state.lm_valid
+    # budgeted candidate list
+    cand_score = cand_mask.astype(jnp.float32)
+    _, cand_idx = jax.lax.top_k(cand_score, cfg.max_local_lm)
+    cand_ok = cand_mask[cand_idx]
+
+    X = state.lm_pos[cand_idx]
+    Xc = jnp.einsum("ij,mj->mi", R, X) + t
+    uv = project(cam, Xc)
+    z = Xc[:, 2]
+    ur = uv[:, 0] - bf / jnp.maximum(z, 1e-6)
+    C = -R.T @ t
+    d = X - C[None]
+    dist = jnp.linalg.norm(d, axis=-1)
+    view_cos = jnp.sum(d * state.lm_normal[cand_idx], axis=-1) / jnp.maximum(dist, 1e-9)
+    vis = (
+        cand_ok
+        & (z > 0)
+        & in_image(uv, cfg.width, cfg.height)
+        & (dist >= 0.8 * state.lm_mindist[cand_idx])
+        & (dist <= 1.2 * state.lm_maxdist[cand_idx])
+        & (view_cos > 0.5)
+    )
+    octv = predict_scale(dist, state.lm_maxdist[cand_idx], cfg.orb.n_levels)
+    sf = image_ops.scale_factors(cfg.orb.n_levels, cfg.orb.scale)
+    base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = th * base_r * sf[octv]
+
+    taken = cur_obs >= 0  # features already bound stay bound
+    res = matching.search_by_projection(
+        uv, vis, state.lm_desc[cand_idx], octv, radius,
+        frame.uv, frame.valid, frame.desc, frame.octave,
+        feat_taken=taken,
+        proj_ur=ur, feat_ur=frame.ur,
+        ratio=0.8,
+    )
+    matched = res.idx >= 0
+    tgt = jnp.clip(res.idx, 0, frame.uv.shape[0] - 1)
+    cur_obs = cur_obs.at[tgt].set(
+        jnp.where(matched, cand_idx.astype(jnp.int32), cur_obs[tgt])
+    )
+    R2, t2, cur_obs, n_inl = pose_opt_from_obs(state, R, t, frame, cur_obs, cam, bf, cfg)
+    return R2, t2, cur_obs, n_inl
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spawn_all"), donate_argnums=(0,))
+def create_keyframe(
+    state: ms.MapState,
+    kf_id, n_lm,
+    frame: FrameData,
+    R, t, cur_obs,
+    prev_kf_id,
+    cam: Camera, bf,
+    cfg: TrackerConfig,
+    spawn_all: bool = False,
+):
+    """Insert a keyframe: bind tracked landmarks, spawn new ones from close
+    stereo depths (reference: CreateNewKeyFrame src/Tracking.cc:3216-3341 —
+    close points sorted by depth, created until >=100), update landmark stats.
+
+    Returns (state, n_created).
+    """
+    N = frame.uv.shape[0]
+    L = state.lm_pos.shape[0]
+    baseline = bf / cam.fx
+    th_depth = cfg.th_depth_factor * baseline
+
+    cand = frame.valid & (cur_obs < 0) & (frame.depth > 0)
+    # Reference rule (src/Tracking.cc:3216-3341): create for close points
+    # (depth < thDepth); if fewer than 100, keep creating the closest anyway.
+    depth_key = jnp.where(cand, frame.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    rank = jnp.zeros(N, jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+    if spawn_all:
+        # stereo initialization: every valid-depth keypoint becomes a
+        # landmark (reference: StereoInitialization src/Tracking.cc:2335)
+        is_new = cand
+    else:
+        is_new = cand & ((frame.depth < th_depth) | (rank < 100))
+    is_new &= rank < cfg.new_lm_budget
+
+    slot_off = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    slots = jnp.where(is_new, n_lm + slot_off, L - 1).astype(jnp.int32)
+
+    # back-project: Xc = ray * z ; Xw = R^T (Xc - t)
+    ray = unproject(cam, frame.uv)
+    Xc = ray * frame.depth[:, None]
+    Xw = jnp.einsum("ji,nj->ni", R, Xc - t[None])
+    C = -R.T @ t
+    d = Xw - C[None]
+    dist = jnp.linalg.norm(d, axis=-1)
+    normal = d / jnp.maximum(dist[:, None], 1e-9)
+    sf = image_ops.scale_factors(cfg.orb.n_levels, cfg.orb.scale)
+    lvl_sf = sf[jnp.clip(frame.octave, 0, cfg.orb.n_levels - 1)]
+    maxdist = dist * lvl_sf
+    mindist = maxdist / sf[-1]
+
+    state = ms.add_landmarks(
+        state, slots, Xw, frame.desc, normal, mindist, maxdist, kf_id, is_new
+    )
+    obs = jnp.where(is_new, slots, cur_obs)
+    state = ms.insert_keyframe(
+        state, kf_id, R, t, frame.ts,
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), prev_kf_id,
+        frame.uv, frame.ur, frame.octave, frame.angle, frame.desc, frame.valid,
+        obs, frame.depth,
+    )
+    state = ms.update_landmark_stats(state)
+    return state, jnp.sum(is_new.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def local_ba(
+    state: ms.MapState,
+    adj_kfs: jax.Array,     # (W,) adjustable keyframe ids (-1 pad)
+    fixed_kfs: jax.Array,   # (Wf,) fixed keyframe ids (-1 pad)
+    cam: Camera, bf,
+    cfg: TrackerConfig,
+):
+    """Local bundle adjustment over a keyframe window; landmarks observed by
+    the window adjust, window poses adjust, anchor poses fixed; outlier
+    observations are removed afterwards
+    (reference: Optimizer::LocalBundleAdjustment src/Optimizer.cc:1116-1499
+    — two-stage 5+10 iterations with outlier erase; we run the shared LM
+    schedule from ba_core)."""
+    window = jnp.concatenate([adj_kfs, fixed_kfs])
+    W = window.shape[0]
+    K = state.kf_obs.shape[0]
+    safe_w = jnp.clip(window, 0, K - 1)
+    w_ok = (window >= 0) & state.kf_valid[safe_w]
+    fixed = jnp.concatenate(
+        [jnp.zeros_like(adj_kfs, dtype=bool), jnp.ones_like(fixed_kfs, dtype=bool)]
+    ) | ~w_ok
+
+    inv_s2_oct = octave_inv_sigma2(cfg.orb)
+    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(state, window, inv_s2_oct)
+    factors = ba_core.ReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    # landmarks seen by a single keyframe have weakly-determined depth; keep
+    # them anchored at their stereo-spawned position until a second view
+    # constrains them (the reference's MapPointCulling plays the same role by
+    # deleting under-observed points, src/LocalMapping.cc:346-385)
+    n_obs = ms.landmark_obs_count(state)
+    problem = ba_core.BAProblem(
+        R=state.kf_R[safe_w], t=state.kf_t[safe_w],
+        pose_fixed=fixed,
+        lm=state.lm_pos, lm_valid=state.lm_valid,
+        lm_fixed=n_obs < 2,
+        factors=factors, cam=cam, bf=bf,
+    )
+    out, inlier, chi2 = ba_core.bundle_adjust(
+        problem, ba_core.LMConfig(n_rounds=2, n_iters=6)
+    )
+    # write back adjusted poses (only adjustable, valid ones)
+    upd = w_ok & ~fixed
+    state = state._replace(
+        kf_R=state.kf_R.at[safe_w].set(jnp.where(upd[:, None, None], out.R, state.kf_R[safe_w])),
+        kf_t=state.kf_t.at[safe_w].set(jnp.where(upd[:, None], out.t, state.kf_t[safe_w])),
+        lm_pos=out.lm,
+        epoch=state.epoch + 1,
+    )
+    # remove outlier observations: factor (w, feat) invalid -> kf_obs = -1
+    N = state.kf_obs.shape[1]
+    drop = (valid & ~inlier).reshape(W, N)
+    new_rows = jnp.where(drop, -1, state.kf_obs[safe_w])
+    only_real = w_ok[:, None]
+    state = state._replace(
+        kf_obs=state.kf_obs.at[safe_w].set(
+            jnp.where(only_real, new_rows, state.kf_obs[safe_w])
+        )
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# host-side tracker
+# ---------------------------------------------------------------------------
+
+
+class TrackState:
+    NOT_INITIALIZED = "NOT_INITIALIZED"
+    OK = "OK"
+    RECENTLY_LOST = "RECENTLY_LOST"
+    LOST = "LOST"
+
+
+class StereoTracker:
+    """Host orchestrator for stereo(-only) SLAM (SURVEY.md §7 stage 5 slice).
+
+    Per frame: build frame -> motion-model match -> pose opt -> local-map
+    track -> keyframe decision -> (keyframe insert + local BA).
+    """
+
+    def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig()):
+        self.cam = cam
+        self.bf = jnp.float32(bf)
+        self.cfg = cfg
+        self.state = ms.empty(cfg.map)
+        self.track_state = TrackState.NOT_INITIALIZED
+        self.n_kf = 0
+        self.n_lm = 0
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.vel = None  # (dR, dt) of T_cw_cur @ T_wc_prev
+        self.prev_obs = None
+        self.prev_octave = None
+        self.frames_since_kf = 0
+        self.ref_inliers = 1
+        self.last_n_inliers = 0
+        self.trajectory = []  # (ts, R_cw, t_cw) per frame
+
+    # -- keyframe ids are dense [0, n_kf) --
+
+    def _window_ids(self):
+        """Adjustable window = most recent keyframes; fixed set = ALL older
+        keyframes (they are the anchoring observers of shared landmarks —
+        reference: LocalBundleAdjustment's lFixedCameras, the keyframes that
+        see local points but are not optimized, src/Optimizer.cc:1166-1195)."""
+        cfg = self.cfg
+        adj = np.full(cfg.ba_window, -1, np.int32)
+        fixed = np.full(cfg.map.max_keyframes, -1, np.int32)
+        n_adj = min(self.n_kf, cfg.ba_window)
+        for i in range(n_adj):
+            adj[i] = self.n_kf - 1 - i
+        for i in range(self.n_kf - n_adj):
+            fixed[i] = self.n_kf - n_adj - 1 - i
+        if self.n_kf <= cfg.ba_window and n_adj == self.n_kf:
+            # anchor the first keyframe to pin the gauge
+            adj[n_adj - 1] = -1
+            fixed[0] = 0
+        return jnp.asarray(adj), jnp.asarray(fixed)
+
+    def _local_window(self):
+        w = self.cfg.ba_window + self.cfg.ba_fixed
+        ids = np.full(w, -1, np.int32)
+        for i in range(min(self.n_kf, w)):
+            ids[i] = self.n_kf - 1 - i
+        return jnp.asarray(ids)
+
+    def process_stereo(self, img_l, img_r, ts: float):
+        cfg = self.cfg
+        frame = build_stereo_frame(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.float32(ts), self.cam, self.bf, cfg.orb,
+        )
+        if self.track_state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize(frame)
+            self._record(ts)
+            return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+        # pose prediction (constant-velocity motion model)
+        if self.vel is not None:
+            dR, dt = self.vel
+            R_pred = dR @ self.R
+            t_pred = dR @ self.t + dt
+        else:
+            R_pred, t_pred = self.R, self.t
+
+        cur_obs, n_m = match_previous(
+            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
+            frame, self.cam, self.bf, jnp.float32(7.0), cfg,
+        )
+        if int(n_m) < 20:  # widen like the reference (th=2*7)
+            cur_obs, n_m = match_previous(
+                self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
+                frame, self.cam, self.bf, jnp.float32(14.0), cfg,
+            )
+        R1, t1, cur_obs, n_inl = pose_opt_from_obs(
+            self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg
+        )
+        # local map tracking
+        window = self._local_window()
+        R2, t2, cur_obs, n_inl2 = track_local_map(
+            self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
+            jnp.float32(1.0), cfg,
+        )
+        n_inl2_i = int(n_inl2)
+        self.last_n_inliers = n_inl2_i
+
+        if n_inl2_i < cfg.min_kf_inliers:
+            self.track_state = TrackState.RECENTLY_LOST
+            # keep predicted pose; do not update velocity
+            self._set_frame(frame, R_pred, t_pred, cur_obs)
+            self._record(ts)
+            return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+        self.track_state = TrackState.OK
+        # velocity update: T_cur * inv(T_prev)
+        R_prev, t_prev = self.R, self.t
+        dR = R2 @ R_prev.T
+        dt = t2 - dR @ t_prev
+        self.vel = (dR, dt)
+        self._set_frame(frame, R2, t2, cur_obs)
+        self.frames_since_kf += 1
+
+        if self._need_keyframe(frame, cur_obs, n_inl2_i):
+            self._insert_keyframe(frame, R2, t2, cur_obs)
+        self._record(ts)
+        return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+    # -- internals --
+
+    def _record(self, ts):
+        self.trajectory.append((float(ts), np.array(self.R), np.array(self.t)))
+
+    def _set_frame(self, frame, R, t, cur_obs):
+        self.R, self.t = R, t
+        self.prev_obs = cur_obs
+        self.prev_octave = frame.octave
+
+    def _initialize(self, frame):
+        """Stereo initialization (reference: src/Tracking.cc:2335-2446):
+        first frame with enough stereo points becomes KF0 at the origin."""
+        n_stereo = int(jnp.sum((frame.depth > 0) & frame.valid))
+        if n_stereo < 100:
+            return False
+        R0 = jnp.eye(3)
+        t0 = jnp.zeros(3)
+        cur_obs = jnp.full(frame.uv.shape[0], -1, jnp.int32)
+        self.state, n_created = create_keyframe(
+            self.state, jnp.int32(0), jnp.int32(0), frame, R0, t0, cur_obs,
+            jnp.int32(-1), self.cam, self.bf, self.cfg, spawn_all=True,
+        )
+        self.n_kf = 1
+        self.n_lm = int(n_created)
+        # bind the frame to the newly created landmarks
+        self.prev_obs = np.asarray(self.state.kf_obs[0])
+        self.prev_obs = jnp.asarray(self.prev_obs)
+        self.prev_octave = frame.octave
+        self.R, self.t = R0, t0
+        self.track_state = TrackState.OK
+        self.frames_since_kf = 0
+        self.ref_inliers = self.n_lm
+        return True
+
+    def _need_keyframe(self, frame, cur_obs, n_inliers):
+        """Reference NeedNewKeyFrame conditions (SURVEY.md A.9), simplified to
+        the stereo case: c1a (max frames), c2 (inlier ratio), c1c (close-point
+        health)."""
+        cfg = self.cfg
+        if self.track_state != TrackState.OK:
+            return False
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c2 = n_inliers < cfg.kf_inlier_ratio * self.ref_inliers and n_inliers > 15
+        # c1c: close points tracked vs untracked
+        baseline = float(self.bf / self.cam.fx)
+        close = np.asarray((frame.depth > 0) & (frame.depth < cfg.th_depth_factor * baseline)
+                           & frame.valid)
+        tracked = np.asarray(cur_obs >= 0)
+        n_close_tracked = int((close & tracked).sum())
+        n_close_untracked = int((close & ~tracked).sum())
+        c1c = n_close_tracked < 100 and n_close_untracked > 70
+        return bool(c1a or c2 or c1c)
+
+    def _insert_keyframe(self, frame, R, t, cur_obs):
+        kf_id = self.n_kf
+        self.state, n_created = create_keyframe(
+            self.state, jnp.int32(kf_id), jnp.int32(self.n_lm), frame, R, t,
+            cur_obs, jnp.int32(kf_id - 1), self.cam, self.bf, self.cfg,
+        )
+        self.n_lm += int(n_created)
+        self.n_kf += 1
+        self.frames_since_kf = 0
+        # rebind frame obs to include the new landmarks
+        self.prev_obs = self.state.kf_obs[kf_id]
+        self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))
+        # synchronous local mapping (round-1: inline; later an async actor)
+        adj, fixed = self._window_ids()
+        self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
+
+    # -- output --
+
+    def keyframe_trajectory(self):
+        out = []
+        for k in range(self.n_kf):
+            R = np.asarray(self.state.kf_R[k])
+            t = np.asarray(self.state.kf_t[k])
+            out.append((float(self.state.kf_ts[k]), R, t))
+        return out

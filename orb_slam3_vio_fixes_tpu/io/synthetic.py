@@ -1,0 +1,154 @@
+"""Synthetic stereo(-inertial) dataset generator for end-to-end testing.
+
+No EuRoC/TUM imagery ships with this environment, so golden-dataset testing
+(SURVEY.md §4: the reference's only test strategy) is reproduced with a
+synthetic world: a cloud of textured square sprites rendered along a
+trajectory (optionally a real EuRoC ground-truth trajectory from the
+reference's evaluation/Ground_truth files), pin-hole stereo projection with a
+known baseline, and analytically exact IMU samples. ATE against the generator
+trajectory is then the same metric the reference's evaluate_ate_scale.py
+computes against EuRoC ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from orb_slam3_vio_fixes_tpu.utils import lie
+import jax.numpy as jnp
+
+
+TEX = 12  # per-sprite texture resolution
+
+
+class SyntheticWorld(NamedTuple):
+    points: np.ndarray       # (M, 3) sprite centers
+    sprite_size: np.ndarray  # (M,) half-size in world units
+    sprite_tex: np.ndarray   # (M, TEX, TEX) per-sprite random texture
+
+
+def make_world(rng, n_points=600, extent=12.0, depth_range=(4.0, 18.0)) -> SyntheticWorld:
+    pts = np.stack(
+        [
+            rng.uniform(-extent, extent, n_points),
+            rng.uniform(-extent * 0.6, extent * 0.6, n_points),
+            rng.uniform(depth_range[0], depth_range[1], n_points),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    # blocky random textures make every sprite's corners descriptively unique
+    # (uniform sprites would alias all BRIEF descriptors onto each other)
+    tex = rng.uniform(70, 250, size=(n_points, TEX, TEX)).astype(np.float32)
+    tex = np.repeat(np.repeat(tex[:, ::2, ::2], 2, axis=1), 2, axis=2)[:, :TEX, :TEX]
+    return SyntheticWorld(
+        points=pts,
+        sprite_size=rng.uniform(0.06, 0.16, n_points).astype(np.float32),
+        sprite_tex=tex,
+    )
+
+
+def render(world: SyntheticWorld, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
+           h: int, w: int, background: float = 60.0,
+           return_depth: bool = False):
+    """Render textured square sprites with painter's order (far first).
+
+    Texture lookup is bilinear at float coordinates anchored to the sprite's
+    *float* projection — sub-pixel camera motion shifts pixel intensities
+    continuously like a real image (an integer-snapped renderer makes
+    consecutive frames identical under small motion, which silently teaches
+    the tracker that the camera never moves)."""
+    img = np.full((h, w), background, np.float32)
+    zbuf = np.full((h, w), -1.0, np.float32)
+    Xc = world.points @ R_cw.T + t_cw
+    z = Xc[:, 2]
+    vis = z > 0.3
+    order = np.argsort(-z)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    for i in order:
+        if not vis[i]:
+            continue
+        u = fx * Xc[i, 0] / z[i] + cx
+        v = fy * Xc[i, 1] / z[i] + cy
+        half = world.sprite_size[i] * fx / z[i]
+        if half < 2.0:
+            half = 2.0
+        u0f, v0f = u - half, v - half
+        size = 2.0 * half
+        cu0, cu1 = max(int(np.floor(u0f)), 0), min(int(np.ceil(u + half)) + 1, w)
+        cv0, cv1 = max(int(np.floor(v0f)), 0), min(int(np.ceil(v + half)) + 1, h)
+        if cu1 <= cu0 or cv1 <= cv0:
+            continue
+        uu = np.arange(cu0, cu1, dtype=np.float32)
+        vv = np.arange(cv0, cv1, dtype=np.float32)
+        tx = (uu - u0f) / size * (TEX - 1)
+        ty = (vv - v0f) / size * (TEX - 1)
+        inside_x = (tx >= 0) & (tx <= TEX - 1)
+        inside_y = (ty >= 0) & (ty <= TEX - 1)
+        txc = np.clip(tx, 0, TEX - 1 - 1e-4)
+        tyc = np.clip(ty, 0, TEX - 1 - 1e-4)
+        x0 = txc.astype(int)
+        y0 = tyc.astype(int)
+        ax = (txc - x0)[None, :]
+        ay = (tyc - y0)[:, None]
+        t = world.sprite_tex[i]
+        patch = (
+            t[np.ix_(y0, x0)] * (1 - ay) * (1 - ax)
+            + t[np.ix_(y0, x0 + 1)] * (1 - ay) * ax
+            + t[np.ix_(y0 + 1, x0)] * ay * (1 - ax)
+            + t[np.ix_(y0 + 1, x0 + 1)] * ay * ax
+        )
+        mask = inside_y[:, None] & inside_x[None, :]
+        region = img[cv0:cv1, cu0:cu1]
+        img[cv0:cv1, cu0:cu1] = np.where(mask, patch, region)
+        zregion = zbuf[cv0:cv1, cu0:cu1]
+        zbuf[cv0:cv1, cu0:cu1] = np.where(mask, np.float32(z[i]), zregion)
+    if return_depth:
+        return img, zbuf
+    return img
+
+
+class StereoSequence(NamedTuple):
+    imgs_l: np.ndarray   # (T, H, W)
+    imgs_r: np.ndarray
+    ts: np.ndarray       # (T,)
+    R_wc: np.ndarray     # (T, 3, 3) ground truth camera-to-world
+    t_wc: np.ndarray     # (T, 3) camera centers
+    K: np.ndarray
+    baseline: float
+
+
+def orbit_trajectory(n_frames, dt=0.05, radius=0.0, speed=(0.25, 0.0, 0.0),
+                     yaw_rate=0.0):
+    """Simple smooth trajectory: constant velocity + optional yaw."""
+    R_wc = np.zeros((n_frames, 3, 3))
+    t_wc = np.zeros((n_frames, 3))
+    for i in range(n_frames):
+        yaw = yaw_rate * i * dt
+        R_wc[i] = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], jnp.float32)))
+        t_wc[i] = np.asarray(speed) * (i * dt)
+    return R_wc, t_wc
+
+
+def make_stereo_sequence(
+    rng, n_frames=40, h=320, w=480, fx=350.0, baseline=0.11, dt=0.05,
+    speed=(0.8, 0.0, 0.12), yaw_rate=0.06, world=None,
+) -> StereoSequence:
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    if world is None:
+        world = make_world(rng)
+    R_wc, t_wc = orbit_trajectory(n_frames, dt, speed=speed, yaw_rate=yaw_rate)
+    imgs_l = np.zeros((n_frames, h, w), np.float32)
+    imgs_r = np.zeros((n_frames, h, w), np.float32)
+    b_off = np.array([baseline, 0.0, 0.0], np.float32)
+    for i in range(n_frames):
+        R_cw = R_wc[i].T
+        t_cw = -R_cw @ t_wc[i]
+        imgs_l[i] = render(world, K, R_cw, t_cw, h, w)
+        # right camera center = C + R_wc @ [b,0,0]
+        C_r = t_wc[i] + R_wc[i] @ b_off
+        t_cw_r = -R_cw @ C_r
+        imgs_r[i] = render(world, K, R_cw, t_cw_r, h, w)
+    ts = np.arange(n_frames) * dt
+    return StereoSequence(imgs_l, imgs_r, ts, R_wc, t_wc, K, baseline)

@@ -1,0 +1,219 @@
+"""ORB feature extraction: oriented multi-scale FAST + steered BRIEF.
+
+TPU-native re-design of the reference's ORBextractor
+(reference semantics: src/ORBextractor.cc — 8-level pyramid scale 1.2
+(:410-469), intensity-centroid orientation (:471-476, IC_Angle :77-105),
+GaussianBlur(7,7,2) before description (:1133), 256-bit steered BRIEF
+(computeOrbDescriptor :107-148), per-level feature budgets geometric in
+1/scale (:428-443), lapping-area stereo reorder for fisheye (:1153-1163)).
+
+Differences by design (not a port):
+  * the BRIEF sampling pattern is generated from a fixed-seed Gaussian
+    scheme (BRIEF G-II: x1 ~ N(0, (S/5)^2), x2 ~ N(x1, (S/10)^2)) instead of
+    copying OpenCV's learned table — descriptors are self-consistent across
+    this framework (matcher, vocabulary, map serialization all use them);
+  * keypoint distribution is per-cell top-k + score top-up (ops/fast.py)
+    instead of a recursive quadtree;
+  * all levels are processed in one jitted call with static shapes; stereo
+    pairs batch through the same kernels with a leading axis.
+
+Output layout: fixed-capacity arrays with a validity mask (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.ops import fast as fast_ops
+from orb_slam3_vio_fixes_tpu.ops import image as image_ops
+
+HALF_PATCH = 15          # orientation patch radius (31x31 patch)
+PATCH_R = 22             # gather radius: covers rotated BRIEF offsets (15*sqrt2)
+PATCH = 2 * PATCH_R + 1  # 45
+
+
+class ORBConfig(NamedTuple):
+    n_features: int = 1200
+    n_levels: int = 8
+    scale: float = 1.2
+    fast_threshold: float = 20.0
+    fast_threshold_min: float = 7.0
+    cell: int = 35
+    max_per_cell: int = 4
+
+
+class Features(NamedTuple):
+    """Fixed-capacity feature set for one image (capacity N = cfg.n_features).
+
+    uv:       (N, 2) float32 — level-0 pixel coords (x, y)
+    response: (N,)  float32 — FAST score
+    octave:   (N,)  int32   — pyramid level
+    angle:    (N,)  float32 — orientation, radians
+    desc:     (N, 8) uint32 — 256-bit descriptors
+    valid:    (N,)  bool
+    """
+
+    uv: jax.Array
+    response: jax.Array
+    octave: jax.Array
+    angle: jax.Array
+    desc: jax.Array
+    valid: jax.Array
+
+    @property
+    def n(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def features_per_level(cfg: ORBConfig) -> list[int]:
+    """Geometric per-level budgets summing to n_features (reference semantics:
+    src/ORBextractor.cc:428-443)."""
+    inv = 1.0 / cfg.scale
+    n0 = cfg.n_features * (1 - inv) / (1 - inv**cfg.n_levels)
+    per = [int(round(n0 * inv**i)) for i in range(cfg.n_levels)]
+    per[-1] = max(cfg.n_features - sum(per[:-1]), 0)
+    return per
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(seed: int = 1234, n_bits: int = 256, patch: int = 31) -> np.ndarray:
+    """(n_bits, 4) int32 (x1, y1, x2, y2) offsets in [-15, 15].
+
+    Deterministic Gaussian pair scheme (BRIEF G-II from the original BRIEF
+    paper): first point ~ N(0, (S/5)^2), second ~ N(first, (S/10)^2).
+    """
+    rng = np.random.default_rng(seed)
+    s = patch
+    half = patch // 2
+    p1 = np.clip(np.round(rng.normal(0.0, s / 5.0, size=(n_bits, 2))), -half, half)
+    p2 = np.clip(np.round(p1 + rng.normal(0.0, s / 10.0, size=(n_bits, 2))), -half, half)
+    # Avoid degenerate identical pairs: nudge x2 by +1 (wrapped) where equal.
+    same = np.all(p1 == p2, axis=1)
+    p2[same, 0] = np.where(p2[same, 0] < half, p2[same, 0] + 1, p2[same, 0] - 1)
+    return np.concatenate([p1, p2], axis=1).astype(np.int32)
+
+
+# Circular-patch row extents for orientation (u_max in the reference, computed
+# from the circle equation rather than copied).
+@functools.lru_cache(maxsize=None)
+def _circular_mask(radius: int = HALF_PATCH) -> np.ndarray:
+    y, x = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.float32)
+
+
+def _gather_patches(img: jax.Array, yx: jax.Array) -> jax.Array:
+    """Gather (K, PATCH, PATCH) patches centered at integer yx (K, 2) from a
+    PATCH_R-padded copy of img."""
+    padded = jnp.pad(img, PATCH_R, mode="edge")
+
+    def one(c):
+        return jax.lax.dynamic_slice(padded, (c[0], c[1]), (PATCH, PATCH))
+
+    return jax.vmap(one)(yx)  # top-left corner = center in padded coords
+
+
+def _orientation(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid angle from the central 31x31 circular region of
+    (K, PATCH, PATCH) patches (reference semantics: IC_Angle)."""
+    c0 = PATCH_R - HALF_PATCH
+    c1 = PATCH_R + HALF_PATCH + 1
+    sub = patches[:, c0:c1, c0:c1]
+    mask = jnp.asarray(_circular_mask())
+    coords = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
+    m01 = jnp.einsum("kyx,y->k", sub * mask, coords)
+    m10 = jnp.einsum("kyx,x->k", sub * mask, coords)
+    return jnp.arctan2(m01, m10)
+
+
+def _describe(patches: jax.Array, angle: jax.Array) -> jax.Array:
+    """Steered BRIEF over blurred patches. patches: (K, PATCH, PATCH) from the
+    blurred image; angle: (K,). Returns (K, 8) uint32."""
+    pat = jnp.asarray(brief_pattern())  # (256, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    x1, y1, x2, y2 = (pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32),
+                      pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
+
+    def rot(x, y):
+        # (K, 256) rotated integer offsets (reference rounds the same way:
+        # computeOrbDescriptor's GET_VALUE macro).
+        rx = jnp.round(ca[:, None] * x[None] - sa[:, None] * y[None]).astype(jnp.int32)
+        ry = jnp.round(sa[:, None] * x[None] + ca[:, None] * y[None]).astype(jnp.int32)
+        return rx + PATCH_R, ry + PATCH_R
+
+    rx1, ry1 = rot(x1, y1)
+    rx2, ry2 = rot(x2, y2)
+    flat = patches.reshape(patches.shape[0], -1)  # (K, PATCH*PATCH)
+    i1 = jnp.take_along_axis(flat, ry1 * PATCH + rx1, axis=1)
+    i2 = jnp.take_along_axis(flat, ry2 * PATCH + rx2, axis=1)
+    bits = (i1 < i2).astype(jnp.uint32)  # (K, 256)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
+    return words.astype(jnp.uint32)  # (K, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w"))
+def _extract_impl(img: jax.Array, cfg: ORBConfig, h: int, w: int) -> Features:
+    levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale)
+    budgets = features_per_level(cfg)
+    scales = [cfg.scale**i for i in range(cfg.n_levels)]
+
+    uv_all, resp_all, oct_all, ang_all, desc_all, valid_all = [], [], [], [], [], []
+    for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
+        if budget == 0:
+            continue
+        lh, lw = lv_img.shape
+        idx, score, valid = fast_ops.detect(
+            lv_img,
+            threshold=cfg.fast_threshold,
+            threshold_min=cfg.fast_threshold_min,
+            cell=cfg.cell,
+            max_per_cell=cfg.max_per_cell,
+            budget=budget,
+        )
+        ys = (idx // lw).astype(jnp.int32)
+        xs = (idx % lw).astype(jnp.int32)
+        yx = jnp.stack([ys, xs], axis=-1)
+        raw_patches = _gather_patches(lv_img, yx)
+        angle = _orientation(raw_patches)
+        blurred = image_ops.gaussian_blur(lv_img)
+        blur_patches = _gather_patches(blurred, yx)
+        desc = _describe(blur_patches, angle)
+        s = scales[lvl]
+        uv = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
+        uv_all.append(uv)
+        resp_all.append(score)
+        oct_all.append(jnp.full((budget,), lvl, jnp.int32))
+        ang_all.append(angle)
+        desc_all.append(desc)
+        valid_all.append(valid)
+
+    return Features(
+        uv=jnp.concatenate(uv_all),
+        response=jnp.concatenate(resp_all),
+        octave=jnp.concatenate(oct_all),
+        angle=jnp.concatenate(ang_all),
+        desc=jnp.concatenate(desc_all),
+        valid=jnp.concatenate(valid_all),
+    )
+
+
+def extract(img: jax.Array, cfg: ORBConfig = ORBConfig()) -> Features:
+    """Extract ORB features from a grayscale float32 (H, W) image."""
+    h, w = img.shape
+    return _extract_impl(img, cfg, h, w)
+
+
+def extract_pair(img_l: jax.Array, img_r: jax.Array, cfg: ORBConfig = ORBConfig()):
+    """Batched stereo extraction — one launch for both eyes (the TPU answer to
+    the reference's two std::threads in src/Frame.cc:1059-1062)."""
+    batched = jax.vmap(lambda im: _extract_impl(im, cfg, *img_l.shape))(
+        jnp.stack([img_l, img_r])
+    )
+    left = jax.tree_util.tree_map(lambda a: a[0], batched)
+    right = jax.tree_util.tree_map(lambda a: a[1], batched)
+    return left, right

@@ -1,0 +1,373 @@
+"""Batched Levenberg-Marquardt bundle adjustment with landmark Schur complement.
+
+This is the TPU-native replacement for the reference's entire g2o stack
+(reference: Thirdparty/g2o + src/Optimizer.cc's 20 entry points + the custom
+vertices/edges in include/G2oTypes.h and include/OptimizableTypes.h).
+
+Design (SURVEY.md §7 stage 4):
+  * one generic problem layout: fixed-capacity factor arrays with validity
+    masks; every residual type is evaluated for ALL factors in one vmapped
+    pass (VPU/MXU friendly), invalid slots contribute zero;
+  * analytic Jacobians for reprojection (the closed forms the reference
+    hand-codes in src/OptimizableTypes.cpp / src/G2oTypes.cc follow from the
+    same chain rule; we derive them directly, and cross-check vs autodiff in
+    tests);
+  * landmark blocks eliminated by Schur complement (the reference exposes the
+    same pattern in Optimizer::Marginalize src/Optimizer.cc:2960-3040 and in
+    g2o's BlockSolver_6_3); the reduced camera system is assembled densely —
+    local windows are <=10^2 poses so a dense (6P, 6P) solve is tiny and maps
+    straight onto the MXU;
+  * robust Huber weights and the reference's chi^2 outlier gating between
+    rounds (src/Optimizer.cc:999-1104: 4 rounds x 10 iterations, mono
+    chi2=5.991 / stereo 7.815);
+  * LM damping on the diagonal with multiplicative accept/reject schedule,
+    carried through `lax.scan` — fixed iteration count, no data-dependent
+    Python control flow.
+
+Pose convention: poses are T_cw (world->camera), matching the reference's
+g2o::VertexSE3Expmap estimates; updates are left-multiplicative
+T_cw <- exp(xi) T_cw with xi = (rho, phi).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, project, project_jac
+
+# chi^2 thresholds at 95% for 2/3 DoF (reference: src/Optimizer.cc:1001-1002)
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class ReprojFactors(NamedTuple):
+    """Reprojection factors, mono and stereo unified.
+
+    pose_idx: (F,) int32 — index into pose arrays
+    lm_idx:   (F,) int32 — index into landmark array
+    uvr:      (F, 3) float32 — observed (u, v, u_right); u_right < 0 => mono
+    inv_sigma2: (F,) float32 — information scale (1/sigma^2 of the octave)
+    valid:    (F,) bool
+    """
+
+    pose_idx: jax.Array
+    lm_idx: jax.Array
+    uvr: jax.Array
+    inv_sigma2: jax.Array
+    valid: jax.Array
+
+    @staticmethod
+    def empty(f: int) -> "ReprojFactors":
+        return ReprojFactors(
+            jnp.zeros(f, jnp.int32),
+            jnp.zeros(f, jnp.int32),
+            jnp.full((f, 3), -1.0, jnp.float32),
+            jnp.ones(f, jnp.float32),
+            jnp.zeros(f, bool),
+        )
+
+
+class BAProblem(NamedTuple):
+    """Visual BA problem over fixed-capacity arrays.
+
+    R, t: (P, 3, 3), (P, 3) — T_cw per pose
+    pose_fixed: (P,) bool — gauge/anchor poses (reference: setFixed)
+    lm: (L, 3) world points;  lm_valid: (L,) bool; lm_fixed: (L,) bool
+    factors: ReprojFactors
+    cam: Camera; bf: scalar stereo baseline*fx (0 for mono-only)
+    """
+
+    R: jax.Array
+    t: jax.Array
+    pose_fixed: jax.Array
+    lm: jax.Array
+    lm_valid: jax.Array
+    lm_fixed: jax.Array
+    factors: ReprojFactors
+    cam: Camera
+    bf: jax.Array
+
+
+def _huber_weight(chi2: jax.Array, delta2: jax.Array) -> jax.Array:
+    """Huber IRLS weight as a function of the squared error chi2 = e^T W e.
+    w = 1 inside the basin, delta/sqrt(chi2) outside (g2o's rho'(e))."""
+    return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+
+
+def reproj_residuals(problem: BAProblem, R=None, t=None, lm=None):
+    """Residuals + per-factor chi2 + depth for all reprojection factors.
+
+    Returns (err (F,3), chi2 (F,), depth (F,), is_stereo (F,)).
+    Mono factors have err[...,2] = 0.
+    """
+    R = problem.R if R is None else R
+    t = problem.t if t is None else t
+    lm = problem.lm if lm is None else lm
+    f = problem.factors
+    Rp = R[f.pose_idx]
+    tp = t[f.pose_idx]
+    X = lm[f.lm_idx]
+    Xc = jnp.einsum("fij,fj->fi", Rp, X) + tp
+    uv = project(problem.cam, Xc)
+    depth = Xc[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(depth) < 1e-9, 1e-9, depth)
+    ur_pred = uv[..., 0] - problem.bf * inv_z
+    is_stereo = f.uvr[:, 2] >= 0.0
+    e2 = jnp.where(is_stereo, ur_pred - f.uvr[:, 2], 0.0)
+    err = jnp.stack([uv[..., 0] - f.uvr[:, 0], uv[..., 1] - f.uvr[:, 1], e2], axis=-1)
+    chi2 = jnp.sum(err * err, axis=-1) * f.inv_sigma2
+    return err, chi2, depth, is_stereo
+
+
+def reproj_jacobians(problem: BAProblem, R=None, t=None, lm=None):
+    """Analytic Jacobians for every factor.
+
+    Returns (err (F,3), Jp (F,3,6), Jl (F,3,3), chi2 (F,), depth (F,)).
+    Row layout: [du, dv, dur]; mono rows 0:2 only (row 2 zeroed).
+    Pose tangent ordering: (rho, phi), left-multiplicative on T_cw.
+    """
+    R_ = problem.R if R is None else R
+    t_ = problem.t if t is None else t
+    lm_ = problem.lm if lm is None else lm
+    f = problem.factors
+    Rp = R_[f.pose_idx]
+    tp = t_[f.pose_idx]
+    X = lm_[f.lm_idx]
+    Xc = jnp.einsum("fij,fj->fi", Rp, X) + tp
+    err, chi2, depth, is_stereo = reproj_residuals(problem, R_, t_, lm_)
+
+    Jproj = project_jac(problem.cam, Xc)  # (F, 2, 3) d(uv)/dXc
+    inv_z = 1.0 / jnp.where(jnp.abs(depth) < 1e-9, 1e-9, depth)
+    inv_z2 = inv_z * inv_z
+    # d(ur)/dXc = d(u)/dXc + bf/z^2 * dz/dXc
+    dur_dXc = Jproj[:, 0, :] + problem.bf * inv_z2[:, None] * jnp.stack(
+        [jnp.zeros_like(inv_z), jnp.zeros_like(inv_z), jnp.ones_like(inv_z)], axis=-1
+    )
+    Jfull = jnp.concatenate([Jproj, dur_dXc[:, None, :]], axis=1)  # (F, 3, 3) d(u,v,ur)/dXc
+    # Mono factors have no third row.
+    row_mask = jnp.stack(
+        [jnp.ones_like(depth), jnp.ones_like(depth), is_stereo.astype(depth.dtype)], axis=-1
+    )
+    Jfull = Jfull * row_mask[:, :, None]
+    # dXc/dxi = [I | -hat(Xc)]  (left-mult update on T_cw)
+    dXc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)), -lie.hat(Xc)],
+        axis=-1,
+    )  # (F, 3, 6)
+    Jp = jnp.einsum("fij,fjk->fik", Jfull, dXc_dxi)  # (F, 3, 6)
+    Jl = jnp.einsum("fij,fjk->fik", Jfull, Rp)  # (F, 3, 3)
+    return err, Jp, Jl, chi2, depth
+
+
+class LMConfig(NamedTuple):
+    n_rounds: int = 4          # outlier-gating rounds (reference: 4)
+    n_iters: int = 10          # LM iterations per round (reference: 10)
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    huber_mono: float = CHI2_MONO**0.5
+    huber_stereo: float = CHI2_STEREO**0.5
+    chi2_mono: float = CHI2_MONO
+    chi2_stereo: float = CHI2_STEREO
+    min_depth: float = 1e-2
+
+
+def _factor_weights(problem, chi2, is_stereo, inlier, cfg: LMConfig):
+    delta2 = jnp.where(is_stereo, cfg.huber_stereo**2, cfg.huber_mono**2)
+    w_rob = _huber_weight(chi2, delta2)
+    w = problem.factors.inv_sigma2 * w_rob
+    act = problem.factors.valid & inlier
+    act &= problem.lm_valid[problem.factors.lm_idx]
+    return jnp.where(act, w, 0.0)
+
+
+def _assemble_and_solve(problem: BAProblem, inlier, lam, cfg: LMConfig):
+    """One Gauss-Newton/LM step: build the Schur-reduced camera system and
+    solve for pose + landmark updates."""
+    P = problem.R.shape[0]
+    L = problem.lm.shape[0]
+    err, Jp, Jl, chi2, depth = reproj_jacobians(problem)
+    is_stereo = problem.factors.uvr[:, 2] >= 0.0
+    w = _factor_weights(problem, chi2, is_stereo, inlier, cfg)
+    # HARD-mask inactive factors before forming any product: invalid slots can
+    # carry near-singular depths whose Jacobians overflow f32 in J^T J, and
+    # 0 * inf = NaN would poison the whole Hessian.
+    act = w > 0.0
+    err = jnp.where(act[:, None], err, 0.0)
+    Jp = jnp.where(act[:, None, None], Jp, 0.0)
+    Jl = jnp.where(act[:, None, None], Jl, 0.0)
+    # zero jacobians of fixed blocks
+    Jp = jnp.where(problem.pose_fixed[problem.factors.pose_idx][:, None, None], 0.0, Jp)
+    Jl = jnp.where(problem.lm_fixed[problem.factors.lm_idx][:, None, None], 0.0, Jl)
+
+    wJp = w[:, None, None] * Jp
+    wJl = w[:, None, None] * Jl
+    # Per-factor blocks
+    Hpp_f = jnp.einsum("fri,frj->fij", wJp, Jp)        # (F, 6, 6)
+    Hll_f = jnp.einsum("fri,frj->fij", wJl, Jl)        # (F, 3, 3)
+    Hpl_f = jnp.einsum("fri,frj->fij", wJp, Jl)        # (F, 6, 3)
+    bp_f = -jnp.einsum("fri,fr->fi", wJp, err)          # (F, 6)
+    bl_f = -jnp.einsum("fri,fr->fi", wJl, err)          # (F, 3)
+
+    pidx = problem.factors.pose_idx
+    lidx = problem.factors.lm_idx
+    Hpp = jnp.zeros((P, 6, 6)).at[pidx].add(Hpp_f)
+    Hll = jnp.zeros((L, 3, 3)).at[lidx].add(Hll_f)
+    bp = jnp.zeros((P, 6)).at[pidx].add(bp_f)
+    bl = jnp.zeros((L, 3)).at[lidx].add(bl_f)
+    # Cross blocks into dense (P*L) table
+    key = pidx * L + lidx
+    Hpl = jnp.zeros((P * L, 6, 3)).at[key].add(Hpl_f).reshape(P, L, 6, 3)
+
+    # Damping (LM): scale diagonals
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    Hpp_d = Hpp + lam * jnp.einsum("pij,ij->pij", Hpp, eye6) + 1e-10 * eye6
+    Hll_d = Hll + lam * jnp.einsum("lij,ij->lij", Hll, eye3)
+    # Fixed/unobserved landmark blocks -> identity (their W columns are zero)
+    lm_active = (jnp.abs(Hll_d).sum((-1, -2)) > 1e-12)
+    Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
+    # Relative Tikhonov floor: far landmarks seen by few views have a
+    # near-singular depth direction; in f32 the raw inverse sprays garbage
+    # into the Schur complement (the reference gets away with it because g2o
+    # runs in double). mu ~ 1e-3 * mean diagonal bounds the condition number
+    # at ~10^3 while biasing updates negligibly.
+    mu = 1e-3 * (Hll_d[..., 0, 0] + Hll_d[..., 1, 1] + Hll_d[..., 2, 2]) / 3.0 + 1e-8
+    Hll_inv = jnp.linalg.inv(Hll_d + mu[:, None, None] * eye3)
+
+    # Schur: S = Hpp - sum_l Hpl Hll^-1 Hlp ; rhs = bp - sum_l Hpl Hll^-1 bl
+    HplHinv = jnp.einsum("plij,ljk->plik", Hpl, Hll_inv)  # (P, L, 6, 3)
+    S_off = jnp.einsum("plik,qljk->pqij", HplHinv, Hpl)   # (P, Q, 6, 6)
+    S = -S_off
+    S = S.at[jnp.arange(P), jnp.arange(P)].add(Hpp_d)
+    rhs = bp - jnp.einsum("plik,lk->pi", HplHinv, bl)
+
+    # Fixed poses: identity rows/cols
+    Sd = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    free = (~problem.pose_fixed)[:, None].repeat(6, 1).reshape(-1)
+    Sd = jnp.where(free[:, None] & free[None, :], Sd, 0.0)
+    Sd = Sd + jnp.diag(jnp.where(free, 0.0, 1.0))
+    rhs_flat = jnp.where(free, rhs.reshape(-1), 0.0)
+    # Jacobi equilibration for f32 conditioning
+    d = jnp.sqrt(jnp.clip(jnp.diag(Sd), 1e-12, None))
+    Sd_n = Sd / d[:, None] / d[None, :]
+    dx = jnp.linalg.solve(Sd_n + 1e-8 * jnp.eye(P * 6), rhs_flat / d) / d
+    dx_pose = dx.reshape(P, 6)
+
+    # Back-substitute landmarks: dl = Hll^-1 (bl - Hlp^T dx)
+    Hlp_dx = jnp.einsum("plij,pi->lj", Hpl, dx_pose)
+    dlm = jnp.einsum("lij,lj->li", Hll_inv, bl - Hlp_dx)
+    dlm = jnp.where((problem.lm_fixed | ~lm_active)[:, None], 0.0, dlm)
+    return dx_pose, dlm
+
+
+def _apply_step(problem: BAProblem, dx_pose, dlm):
+    dR, dt = lie.se3_exp(dx_pose)
+    R_new = dR @ problem.R
+    t_new = jnp.einsum("pij,pj->pi", dR, problem.t) + dt
+    lm_new = problem.lm + dlm
+    return problem._replace(R=R_new, t=t_new, lm=lm_new)
+
+
+def _total_chi2(problem: BAProblem, inlier, cfg: LMConfig):
+    err, chi2, depth, is_stereo = reproj_residuals(problem)
+    delta2 = jnp.where(is_stereo, cfg.huber_stereo**2, cfg.huber_mono**2)
+    # robustified cost (Huber rho), matching g2o's activeRobustChi2
+    rho = jnp.where(
+        chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2
+    )
+    act = problem.factors.valid & inlier & problem.lm_valid[problem.factors.lm_idx]
+    return jnp.sum(jnp.where(act, rho, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(problem: BAProblem, cfg: LMConfig = LMConfig()):
+    """Run LM with chi^2 outlier gating rounds.
+
+    Returns (problem', inlier_mask (F,), chi2_final (F,)).
+    Semantics follow PoseOptimization/LocalBundleAdjustment: after each round,
+    factors with chi2 above the threshold (or non-positive depth) are
+    deactivated for subsequent rounds (reference: src/Optimizer.cc:999-1104).
+    """
+    F = problem.factors.valid.shape[0]
+    inlier = jnp.ones(F, bool)
+
+    def one_round(carry, _):
+        problem, inlier = carry
+
+        def lm_iter(state, _):
+            problem, lam, best_chi2 = state
+            dxp, dlm = _assemble_and_solve(problem, inlier, lam, cfg)
+            cand = _apply_step(problem, dxp, dlm)
+            new_chi2 = _total_chi2(cand, inlier, cfg)
+            accept = new_chi2 < best_chi2
+            problem = problem._replace(
+                R=jnp.where(accept, cand.R, problem.R),
+                t=jnp.where(accept, cand.t, problem.t),
+                lm=jnp.where(accept, cand.lm, problem.lm),
+            )
+            lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+            best_chi2 = jnp.where(accept, new_chi2, best_chi2)
+            return (problem, lam, best_chi2), new_chi2
+
+        chi0 = _total_chi2(problem, inlier, cfg)
+        (problem, _, _), _ = jax.lax.scan(
+            lm_iter, (problem, jnp.float32(cfg.init_lambda), chi0), None, length=cfg.n_iters
+        )
+        # gate outliers for the next round
+        _, chi2, depth, is_stereo = reproj_residuals(problem)
+        th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        inlier = (chi2 <= th) & (depth > cfg.min_depth)
+        return (problem, inlier), None
+
+    (problem, inlier), _ = jax.lax.scan(one_round, (problem, inlier), None, length=cfg.n_rounds)
+    _, chi2, _, _ = reproj_residuals(problem)
+    return problem, inlier, chi2
+
+
+class PoseOptResult(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    inlier: jax.Array
+    n_inliers: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pose_optimize(
+    R, t, points_w, uvr, inv_sigma2, valid, cam: Camera, bf, cfg: LMConfig = LMConfig()
+) -> PoseOptResult:
+    """Motion-only pose optimization: one pose, landmarks fixed.
+
+    The reference's Optimizer::PoseOptimization (src/Optimizer.cc:814-1114):
+    4 rounds x 10 iterations with chi^2 gating; landmarks constant. Here it
+    is just `bundle_adjust` specialized to P=1 with all landmarks fixed —
+    one solver, many graphs (the whole point of the re-design).
+
+    points_w: (N, 3); uvr: (N, 3) with ur<0 for mono rows; valid: (N,) bool.
+    """
+    n = points_w.shape[0]
+    factors = ReprojFactors(
+        pose_idx=jnp.zeros(n, jnp.int32),
+        lm_idx=jnp.arange(n, dtype=jnp.int32),
+        uvr=uvr,
+        inv_sigma2=inv_sigma2,
+        valid=valid,
+    )
+    problem = BAProblem(
+        R=R[None], t=t[None],
+        pose_fixed=jnp.zeros(1, bool),
+        lm=points_w,
+        lm_valid=jnp.ones(n, bool),
+        lm_fixed=jnp.ones(n, bool),
+        factors=factors,
+        cam=cam, bf=bf,
+    )
+    out, inlier, chi2 = bundle_adjust(problem, cfg)
+    return PoseOptResult(
+        out.R[0], out.t[0], inlier & valid, jnp.sum((inlier & valid).astype(jnp.int32))
+    )

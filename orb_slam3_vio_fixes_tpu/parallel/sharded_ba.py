@@ -1,0 +1,234 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction on a mesh.
+
+The reference has no distributed backend at all (SURVEY.md §2.3 — its
+parallelism is 4 pthreads + mutexes on one shared map). This module is the
+designed-fresh TPU scaling path (BASELINE.md north star): shard the landmark
+blocks (and their reprojection factors) across a device mesh, form each
+device's partial Schur complement of the reduced camera system, `psum` the
+(6P, 6P) reduced system over ICI, solve it replicated, and back-substitute
+landmark updates locally on the owning shard.
+
+Why landmarks: the reduced camera system is tiny (P keyframes), while
+landmark blocks and factors dominate memory/compute. Communication per LM
+iteration is exactly one psum of (6P)^2 + 6P floats — independent of L and F.
+This is the SLAM analogue of data-parallel gradient psum.
+
+Factor partitioning: `partition_problem` reorders factors so factor f lives
+on the shard owning landmark lm_idx[f] (contiguous landmark blocks), padding
+each shard to the max shard size. Pose arrays are replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orb_slam3_vio_fixes_tpu.optim import ba_core
+from orb_slam3_vio_fixes_tpu.utils import lie
+
+
+def partition_problem(problem: ba_core.BAProblem, n_shards: int) -> ba_core.BAProblem:
+    """Host-side prep: pad L to a multiple of shards and group factors by the
+    shard that owns their landmark. Returns a new problem whose factor arrays
+    are laid out as [shard0 | shard1 | ...] with equal shard sizes."""
+    L = int(problem.lm.shape[0])
+    Lp = ((L + n_shards - 1) // n_shards) * n_shards
+    block = Lp // n_shards
+    pad_l = Lp - L
+    lm = np.asarray(problem.lm)
+    lm_valid = np.asarray(problem.lm_valid)
+    lm_fixed = np.asarray(problem.lm_fixed)
+    if pad_l:
+        lm = np.concatenate([lm, np.zeros((pad_l, 3), lm.dtype)])
+        lm_valid = np.concatenate([lm_valid, np.zeros(pad_l, bool)])
+        lm_fixed = np.concatenate([lm_fixed, np.ones(pad_l, bool)])
+
+    f = problem.factors
+    lm_idx = np.asarray(f.lm_idx)
+    valid = np.asarray(f.valid)
+    shard_of = lm_idx // block
+    order = np.argsort(shard_of, kind="stable")
+    counts = np.bincount(shard_of[order], minlength=n_shards)
+    per = int(counts.max()) if counts.size else 1
+    per = max(per, 1)
+    F_new = per * n_shards
+    idx_out = np.zeros(F_new, np.int64)
+    valid_out = np.zeros(F_new, bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for s in range(n_shards):
+        sel = order[starts[s] : starts[s] + counts[s]]
+        idx_out[s * per : s * per + counts[s]] = sel
+        valid_out[s * per : s * per + counts[s]] = valid[sel]
+
+    def take(a):
+        return jnp.asarray(np.asarray(a)[idx_out])
+
+    factors = ba_core.ReprojFactors(
+        pose_idx=take(f.pose_idx),
+        lm_idx=take(f.lm_idx),
+        uvr=take(f.uvr),
+        inv_sigma2=take(f.inv_sigma2),
+        valid=jnp.asarray(valid_out),
+    )
+    return problem._replace(
+        lm=jnp.asarray(lm), lm_valid=jnp.asarray(lm_valid),
+        lm_fixed=jnp.asarray(lm_fixed), factors=factors,
+    )
+
+
+def _shard_step(problem: ba_core.BAProblem, inlier, lam, cfg, axis: str):
+    """Inside shard_map: factor/landmark arrays are the LOCAL shard; pose
+    arrays replicated. Returns (dx_pose replicated, dlm local shard)."""
+    P_ = problem.R.shape[0]
+    L_loc = problem.lm.shape[0]
+    err, Jp, Jl, chi2, depth = ba_core.reproj_jacobians(problem)
+    is_stereo = problem.factors.uvr[:, 2] >= 0.0
+    w = ba_core._factor_weights(problem, chi2, is_stereo, inlier, cfg)
+    # hard-mask inactive factors (see ba_core._assemble_and_solve: 0*inf=NaN)
+    act = w > 0.0
+    err = jnp.where(act[:, None], err, 0.0)
+    Jp = jnp.where(act[:, None, None], Jp, 0.0)
+    Jl = jnp.where(act[:, None, None], Jl, 0.0)
+    Jp = jnp.where(problem.pose_fixed[problem.factors.pose_idx][:, None, None], 0.0, Jp)
+    Jl = jnp.where(problem.lm_fixed[problem.factors.lm_idx][:, None, None], 0.0, Jl)
+    wJp = w[:, None, None] * Jp
+    wJl = w[:, None, None] * Jl
+    Hpp_f = jnp.einsum("fri,frj->fij", wJp, Jp)
+    Hll_f = jnp.einsum("fri,frj->fij", wJl, Jl)
+    Hpl_f = jnp.einsum("fri,frj->fij", wJp, Jl)
+    bp_f = -jnp.einsum("fri,fr->fi", wJp, err)
+    bl_f = -jnp.einsum("fri,fr->fi", wJl, err)
+    pidx = problem.factors.pose_idx
+    lidx = problem.factors.lm_idx  # local indices (caller rebases)
+    Hpp = jnp.zeros((P_, 6, 6)).at[pidx].add(Hpp_f)
+    Hll = jnp.zeros((L_loc, 3, 3)).at[lidx].add(Hll_f)
+    bp = jnp.zeros((P_, 6)).at[pidx].add(bp_f)
+    bl = jnp.zeros((L_loc, 3)).at[lidx].add(bl_f)
+    key = pidx * L_loc + lidx
+    Hpl = jnp.zeros((P_ * L_loc, 6, 3)).at[key].add(Hpl_f).reshape(P_, L_loc, 6, 3)
+
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    Hll_d = Hll + lam * Hll * eye3
+    lm_active = jnp.abs(Hll_d).sum((-1, -2)) > 1e-12
+    Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
+    # relative Tikhonov floor for f32 conditioning (see ba_core)
+    mu = 1e-3 * (Hll_d[..., 0, 0] + Hll_d[..., 1, 1] + Hll_d[..., 2, 2]) / 3.0 + 1e-8
+    Hll_inv = jnp.linalg.inv(Hll_d + mu[:, None, None] * eye3)
+    HplHinv = jnp.einsum("plij,ljk->plik", Hpl, Hll_inv)
+    S_part = -jnp.einsum("plik,qljk->pqij", HplHinv, Hpl)
+    Hpp_d = Hpp + lam * Hpp * eye6
+    S_part = S_part.at[jnp.arange(P_), jnp.arange(P_)].add(Hpp_d)
+    rhs_part = bp - jnp.einsum("plik,lk->pi", HplHinv, bl)
+
+    # THE collective: reduce the camera system over ICI
+    S = jax.lax.psum(S_part, axis)
+    rhs = jax.lax.psum(rhs_part, axis)
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(P_ * 6, P_ * 6)
+    free = (~problem.pose_fixed)[:, None].repeat(6, 1).reshape(-1)
+    Sd = jnp.where(free[:, None] & free[None, :], Sd, 0.0)
+    Sd = Sd + jnp.diag(jnp.where(free, 0.0, 1.0))
+    rhs_flat = jnp.where(free, rhs.reshape(-1), 0.0)
+    d = jnp.sqrt(jnp.clip(jnp.diag(Sd), 1e-12, None))
+    dx = jnp.linalg.solve(Sd / d[:, None] / d[None, :] + 1e-8 * jnp.eye(P_ * 6), rhs_flat / d) / d
+    dx_pose = dx.reshape(P_, 6)
+
+    Hlp_dx = jnp.einsum("plij,pi->lj", Hpl, dx_pose)
+    dlm = jnp.einsum("lij,lj->li", Hll_inv, bl - Hlp_dx)
+    dlm = jnp.where((problem.lm_fixed | ~lm_active)[:, None], 0.0, dlm)
+    return dx_pose, dlm
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def distributed_bundle_adjust(
+    problem: ba_core.BAProblem,
+    mesh: Mesh,
+    cfg: ba_core.LMConfig = ba_core.LMConfig(n_rounds=2, n_iters=5),
+    axis: str = "lm",
+):
+    """LM loop with the per-iteration step distributed via shard_map.
+
+    `problem` must come from `partition_problem(problem, mesh.shape[axis])`.
+    Returns (problem', inlier, chi2) like ba_core.bundle_adjust.
+    """
+    n_dev = mesh.shape[axis]
+    L = problem.lm.shape[0]
+    F = problem.factors.valid.shape[0]
+    block = L // n_dev
+
+    def spmd(problem, inlier, lam):
+        # rebase lm_idx to local block inside the shard
+        def body(R, t, pose_fixed, lm, lm_valid, lm_fixed, f_pose, f_lm, f_uvr,
+                 f_is2, f_valid, inl, lam_, cam, bf):
+            shard = jax.lax.axis_index(axis)
+            local = ba_core.BAProblem(
+                R=R, t=t, pose_fixed=pose_fixed,
+                lm=lm, lm_valid=lm_valid, lm_fixed=lm_fixed,
+                factors=ba_core.ReprojFactors(
+                    f_pose, f_lm - shard * block, f_uvr, f_is2, f_valid
+                ),
+                cam=cam, bf=bf,
+            )
+            return _shard_step(local, inl, lam_, cfg, axis)
+
+        f = problem.factors
+        from jax import shard_map
+
+        dx_pose, dlm = shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                P(), P(), P(),            # R, t, pose_fixed (replicated)
+                P(axis), P(axis), P(axis),  # lm blocks
+                P(axis), P(axis), P(axis), P(axis), P(axis),  # factors
+                P(axis),                  # inlier
+                P(), P(), P(),            # lam, cam, bf (replicated)
+            ),
+            out_specs=(P(), P(axis)),
+            check_vma=False,
+        )(
+            problem.R, problem.t, problem.pose_fixed,
+            problem.lm, problem.lm_valid, problem.lm_fixed,
+            f.pose_idx, f.lm_idx, f.uvr, f.inv_sigma2, f.valid,
+            inlier, lam, problem.cam, problem.bf,
+        )
+        return dx_pose, dlm
+
+    inlier = jnp.ones(F, bool)
+
+    def one_round(carry, _):
+        problem, inlier = carry
+
+        def lm_iter(state, _):
+            problem, lam, best = state
+            dxp, dlm = spmd(problem, inlier, lam)
+            cand = ba_core._apply_step(problem, dxp, dlm)
+            new_chi2 = ba_core._total_chi2(cand, inlier, cfg)
+            accept = new_chi2 < best
+            problem = problem._replace(
+                R=jnp.where(accept, cand.R, problem.R),
+                t=jnp.where(accept, cand.t, problem.t),
+                lm=jnp.where(accept, cand.lm, problem.lm),
+            )
+            lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+            best = jnp.where(accept, new_chi2, best)
+            return (problem, lam, best), None
+
+        chi0 = ba_core._total_chi2(problem, inlier, cfg)
+        (problem, _, _), _ = jax.lax.scan(
+            lm_iter, (problem, jnp.float32(cfg.init_lambda), chi0), None,
+            length=cfg.n_iters,
+        )
+        _, chi2, depth, is_stereo = ba_core.reproj_residuals(problem)
+        th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        inlier = (chi2 <= th) & (depth > cfg.min_depth)
+        return (problem, inlier), None
+
+    (problem, inlier), _ = jax.lax.scan(one_round, (problem, inlier), None, length=cfg.n_rounds)
+    _, chi2, _, _ = ba_core.reproj_residuals(problem)
+    return problem, inlier, chi2

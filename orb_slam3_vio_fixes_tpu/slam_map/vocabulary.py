@@ -1,0 +1,204 @@
+"""Binary bag-of-words vocabulary: hierarchical k-medians + dense scoring.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary + KeyFrameDatabase
+(reference semantics: Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h —
+branching-10 depth-6 tree, TF_IDF + L1 scoring; src/KeyFrameDatabase.cc:604
+DetectNBestCandidates — shared-word counting, covisibility-group score
+accumulation, top-N).
+
+Re-design decisions:
+  * the tree is a complete b-ary heap in one dense (n_nodes, 8) uint32 array;
+    descriptor->word assignment is `depth` rounds of batched XOR+popcount
+    argmin against b children — fixed shapes, no pointer chasing;
+  * the inverted file is replaced by a dense (K, W) word-histogram matrix:
+    querying all keyframes at once is ONE similarity reduction (VPU/MXU
+    friendly), so DetectNBestCandidates becomes top-k over a masked score
+    vector — no lists, no per-word iteration;
+  * vocabularies are trained in-framework (hierarchical k-medians with
+    bitwise-majority centroids) from harvested descriptors — the reference's
+    pre-trained ORBvoc.txt is not shippable here and its descriptors differ
+    anyway (see ops/orb.py pattern note).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Vocabulary(NamedTuple):
+    """nodes: ((b^(d+1)-1)//(b-1) - 1 <= heap, but stored level-major as
+    (n_internal + n_leaves, 8); heap child indexing: children(i) = i*b+1+k.
+    weights: (n_words,) idf weights for leaves."""
+
+    nodes: jax.Array      # (n_nodes, 8) uint32 centroids (root unused at 0)
+    weights: jax.Array    # (n_words,) float32 idf
+    branching: int
+    depth: int
+
+    @property
+    def n_words(self) -> int:
+        return self.branching**self.depth
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_centroid(descs: np.ndarray) -> np.ndarray:
+    """Bitwise-majority of (N, 8) uint32 descriptors."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # (N, 256)
+    maj = (bits.sum(0) * 2 >= bits.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmedians(descs: np.ndarray, k: int, rng, n_iter: int = 8) -> np.ndarray:
+    """Binary k-medians with Hamming distance. Returns (k, 8) centroids."""
+    n = descs.shape[0]
+    if n == 0:
+        return np.zeros((k, 8), np.uint32)
+    centroids = descs[rng.choice(n, size=min(k, n), replace=False)]
+    if centroids.shape[0] < k:
+        centroids = np.concatenate(
+            [centroids, descs[rng.integers(0, n, k - centroids.shape[0])]]
+        )
+    for _ in range(n_iter):
+        d = _popcount_np(descs[:, None, :] ^ centroids[None, :, :])  # (N, k)
+        assign = d.argmin(1)
+        new = []
+        for c in range(k):
+            sel = descs[assign == c]
+            if len(sel) == 0:
+                new.append(descs[rng.integers(0, n)])
+            else:
+                new.append(_majority_centroid(sel))
+        centroids = np.stack(new)
+    return centroids
+
+
+def train(descs: np.ndarray, branching: int = 10, depth: int = 3, seed: int = 0,
+          idf: bool = True) -> Vocabulary:
+    """Hierarchical k-medians training (reference semantics: DBoW2 create —
+    branching/depth; we default to 10^3 words, enough below the reference's
+    10^6 because our maps are evaluated per-sequence, not city-scale)."""
+    rng = np.random.default_rng(seed)
+    n_nodes = sum(branching ** (l + 1) for l in range(depth))  # heap minus root
+    nodes = np.zeros((1 + n_nodes, 8), np.uint32)  # include root slot 0
+
+    # recursive split, heap order
+    def split(node_idx: int, level: int, subset: np.ndarray):
+        if level == depth:
+            return
+        cents = _kmedians(subset, branching, rng)
+        if len(subset):
+            d = _popcount_np(subset[:, None, :] ^ cents[None, :, :])
+            assign = d.argmin(1)
+        else:
+            assign = np.zeros(0, int)
+        for c in range(branching):
+            child = node_idx * branching + 1 + c
+            nodes[child] = cents[c]
+            split(child, level + 1, subset[assign == c] if len(subset) else subset)
+
+    split(0, 0, descs.astype(np.uint32))
+
+    # idf from training corpus (treat each descriptor as one document hit)
+    n_words = branching**depth
+    weights = np.ones(n_words, np.float32)
+    if idf and len(descs):
+        vocab_tmp = Vocabulary(jnp.asarray(nodes), jnp.ones(n_words, jnp.float32),
+                               branching, depth)
+        words = np.asarray(assign_words(vocab_tmp, jnp.asarray(descs),
+                                        jnp.ones(len(descs), bool)))
+        counts = np.bincount(words[words >= 0], minlength=n_words).astype(np.float32)
+        weights = np.log(len(descs) / np.maximum(counts, 1.0)).astype(np.float32)
+        weights = np.maximum(weights, 1e-3)
+    return Vocabulary(jnp.asarray(nodes), jnp.asarray(weights), branching, depth)
+
+
+jax.tree_util.register_pytree_node(
+    Vocabulary,
+    lambda v: ((v.nodes, v.weights), (v.branching, v.depth)),
+    lambda aux, leaves: Vocabulary(*leaves, branching=aux[0], depth=aux[1]),
+)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def assign_words(vocab: Vocabulary, descs: jax.Array, valid: jax.Array) -> jax.Array:
+    """(N, 8) descriptors -> (N,) leaf word ids (-1 for invalid rows).
+
+    `depth` rounds of b-way XOR+popcount argmin (the reference walks the same
+    tree per-descriptor in C++; here all N descend in lockstep)."""
+    b, d = vocab.branching, vocab.depth
+    n = descs.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(d):
+        child0 = node * b + 1
+        cand = vocab.nodes[child0[:, None] + jnp.arange(b)[None, :]]  # (N, b, 8)
+        dist = jnp.sum(
+            jax.lax.population_count(cand ^ descs[:, None, :]), axis=-1
+        )  # (N, b)
+        node = child0 + jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    # word id = leaf heap index - first leaf index; level-l nodes start at
+    # (b^l - 1)/(b - 1) in heap order
+    first_leaf = (b**d - 1) // (b - 1)
+    word = node - first_leaf
+    return jnp.where(valid, word, -1)
+
+
+@jax.jit
+def bow_histogram(vocab: Vocabulary, words: jax.Array) -> jax.Array:
+    """(N,) word ids -> (W,) L1-normalized tf-idf histogram."""
+    W = vocab.weights.shape[0]
+    ok = words >= 0
+    h = jnp.zeros(W).at[jnp.clip(words, 0, W - 1)].add(
+        jnp.where(ok, vocab.weights[jnp.clip(words, 0, W - 1)], 0.0)
+    )
+    return h / jnp.maximum(jnp.sum(jnp.abs(h)), 1e-9)
+
+
+@jax.jit
+def l1_score(h_query: jax.Array, h_db: jax.Array) -> jax.Array:
+    """DBoW2 L1 similarity: s = 1 - 0.5 * |q - d|_1 for L1-normalized
+    histograms (reference: DBoW2 ScoringObject L1Scoring). h_db: (K, W)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(h_query[None, :] - h_db), axis=-1)
+
+
+class KeyFrameDatabase(NamedTuple):
+    """Dense BoW database over keyframe slots (replaces the inverted file,
+    reference src/KeyFrameDatabase.cc)."""
+
+    hist: jax.Array  # (K, W) histograms of keyframes (zero rows = absent)
+
+    @staticmethod
+    def empty(max_kf: int, n_words: int) -> "KeyFrameDatabase":
+        return KeyFrameDatabase(jnp.zeros((max_kf, n_words), jnp.float32))
+
+
+@jax.jit
+def db_add(db: KeyFrameDatabase, kf_id: jax.Array, hist: jax.Array) -> KeyFrameDatabase:
+    return KeyFrameDatabase(db.hist.at[kf_id].set(hist))
+
+
+@functools.partial(jax.jit, static_argnames=("n_best",))
+def db_query(
+    db: KeyFrameDatabase,
+    h_query: jax.Array,
+    exclude: jax.Array,    # (K,) bool — e.g. covisible keyframes of the query
+    min_score: jax.Array,
+    n_best: int = 3,
+):
+    """Top-N loop/reloc candidates by L1 score with exclusion mask
+    (reference: DetectNBestCandidates src/KeyFrameDatabase.cc:604 — minus the
+    covisibility-group accumulation, which the caller can apply by masking).
+    Returns (ids (n_best,), scores (n_best,)); ids are -1 where below
+    min_score."""
+    scores = l1_score(h_query, db.hist)
+    scores = jnp.where(exclude, -1.0, scores)
+    top_s, top_i = jax.lax.top_k(scores, n_best)
+    ok = top_s >= min_score
+    return jnp.where(ok, top_i, -1), top_s

@@ -1,0 +1,24 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+
+Unit tests run on CPU (fast iteration, no TPU tunnel latency); the driver
+separately compile-checks the TPU path via __graft_entry__.py. The 8 virtual
+devices let sharding tests emulate a pod slice locally (SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
