@@ -95,7 +95,15 @@ def sad_subpixel(img_l, img_r, uv_l, ur0, valid):
     med = jnp.nanmedian(jnp.where(ok, sad_best, jnp.nan))
     med = jnp.nan_to_num(med, nan=jnp.float32(1e9))
     ok &= sad_best <= 2.1 * med
-    return jnp.where(ok, ur_ref, -1.0)
+    # The SAD measures the displacement between the INTEGER-anchored left
+    # patch (ui) and the right strip, i.e. the disparity at pixel ui. Apply
+    # that displacement to the float keypoint x — returning ur_ref directly
+    # would fold the keypoint's fractional x (octave-scaled coords are
+    # fractional) into the disparity as a bias of up to +-0.5 px, which at
+    # small disparities is tens of percent of depth.
+    disp_int = ui.astype(jnp.float32) - ur_ref
+    ur_out = uv_l[:, 0] - disp_int
+    return jnp.where(ok, ur_out, -1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -45,6 +45,20 @@ CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 
 
+def _full_f32(fn):
+    """Trace `fn` under highest matmul precision: TPU matmuls default to
+    bfloat16 passes, which is fine for the image front end but loses ~3
+    decimal digits in Jacobian/Hessian assembly — enough to stall LM
+    convergence. These are tiny (3x3/6x6) contractions; full f32 is free."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 class ReprojFactors(NamedTuple):
     """Reprojection factors, mono and stereo unified.
 
@@ -99,6 +113,7 @@ def _huber_weight(chi2: jax.Array, delta2: jax.Array) -> jax.Array:
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
+@_full_f32
 def reproj_residuals(problem: BAProblem, R=None, t=None, lm=None):
     """Residuals + per-factor chi2 + depth for all reprojection factors.
 
@@ -124,6 +139,7 @@ def reproj_residuals(problem: BAProblem, R=None, t=None, lm=None):
     return err, chi2, depth, is_stereo
 
 
+@_full_f32
 def reproj_jacobians(problem: BAProblem, R=None, t=None, lm=None):
     """Analytic Jacobians for every factor.
 
@@ -286,6 +302,7 @@ def _total_chi2(problem: BAProblem, inlier, cfg: LMConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@_full_f32
 def bundle_adjust(problem: BAProblem, cfg: LMConfig = LMConfig()):
     """Run LM with chi^2 outlier gating rounds.
 
@@ -338,6 +355,7 @@ class PoseOptResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@_full_f32
 def pose_optimize(
     R, t, points_w, uvr, inv_sigma2, valid, cam: Camera, bf, cfg: LMConfig = LMConfig()
 ) -> PoseOptResult:

@@ -8,12 +8,18 @@ devices let sharding tests emulate a pod slice locally (SURVEY.md §4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment may pre-register a TPU backend and force JAX_PLATFORMS to it
+# (env var alone is not enough to undo that) — pin the CPU platform via the
+# config API, which wins regardless of registration order.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

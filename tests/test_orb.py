@@ -94,9 +94,11 @@ def test_descriptor_rotation_invariance(rng):
         ).sum(-1)
 
     hm = hamming(d0[i], d1[j])
-    rand = hamming(d0[i], np.roll(d1[j], 1, axis=0))
+    # mismatched pairs via a random permutation (roll-by-1 would pair
+    # spatially adjacent keypoints, whose patches genuinely overlap)
+    rand = hamming(d0[i], d1[rng.permutation(j)])
     assert np.median(hm) < 60, f"median Hamming {np.median(hm)} too high"
-    assert np.median(rand) > 90, "random-pair Hamming unexpectedly low"
+    assert np.median(rand) > 85, "random-pair Hamming unexpectedly low"
 
 
 def test_extract_pair_batches(rng):
