@@ -438,10 +438,10 @@ class StereoTracker:
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
         self.track_state = TrackState.OK
-        # velocity update: T_cur * inv(T_prev)
-        R_prev, t_prev = self.R, self.t
-        dR = R2 @ R_prev.T
-        dt = t2 - dR @ t_prev
+        # velocity update: T_cur * inv(T_prev); keep dR on SO(3) — the motion
+        # model re-applies it every frame, so orthonormality drift compounds
+        dR = lie.so3_normalize(R2 @ self.R.T)
+        dt = t2 - dR @ self.t
         self.vel = (dR, dt)
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1

@@ -284,7 +284,12 @@ def _assemble_and_solve(problem: BAProblem, inlier, lam, cfg: LMConfig):
 
 def _apply_step(problem: BAProblem, dx_pose, dlm):
     dR, dt = lie.se3_exp(dx_pose)
-    R_new = dR @ problem.R
+    # Re-orthonormalize after the product: each f32 compose drifts R off SO(3)
+    # by ~1e-7, and the tracker's velocity model (dR = R_cur R_prev^T, applied
+    # forward every frame) AMPLIFIES any deviation geometrically — observed
+    # x2.4/frame growth that destroyed tracking after ~15 frames. The
+    # reference never hits this because Sophus stores unit quaternions.
+    R_new = lie.so3_normalize(dR @ problem.R)
     t_new = jnp.einsum("pij,pj->pi", dR, problem.t) + dt
     lm_new = problem.lm + dlm
     return problem._replace(R=R_new, t=t_new, lm=lm_new)
