@@ -75,7 +75,12 @@ def so3_log(R: jax.Array) -> jax.Array:
     in the near-pi region).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clip strictly inside (-1, 1): arccos has infinite slope at +-1, which
+    # turns autodiff (jacfwd of residuals through this log) into NaN at the
+    # exact-identity point even though the VALUE there is 0 — the product
+    # rule then sees inf * 0. With the margin, d(theta) stays finite and is
+    # multiplied by vee(R - R^T) ~ 0, recovering the correct Jacobian I.
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     sin_theta = jnp.sin(theta)
@@ -104,8 +109,15 @@ def so3_log(R: jax.Array) -> jax.Array:
     # Fix the sign of the axis using the off-diagonal antisymmetric part.
     w_small = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
     sign = jnp.where(jnp.sum(w_small * axis, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
-    w_pi = theta[..., None] * axis * sign
-    near_pi = (jnp.pi - theta) < 1e-4
+    # The clipped arccos theta saturates ~4.5e-4 rad short of pi; recover an
+    # accurate magnitude from sin(theta) = |vee(R-R^T)|/2 instead.
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w_small * w_small, axis=-1) + 1e-24)
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_t, 0.0, 1.0 - 1e-7))
+    w_pi = theta_pi[..., None] * axis * sign
+    # threshold must exceed the clip margin above (arccos(-1+1e-7) =
+    # pi - ~4.5e-4), else clipped near-pi rotations fall into the generic
+    # branch whose sin(theta) denominator no longer matches R
+    near_pi = (jnp.pi - theta) < 5e-4
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
