@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from orb_slam3_vio_fixes_tpu.frontend import local_mapping as lm_mod
 from orb_slam3_vio_fixes_tpu.frontend.frame import FrameData, build_stereo_frame
 from orb_slam3_vio_fixes_tpu.ops import image as image_ops
 from orb_slam3_vio_fixes_tpu.ops import matching, orb
@@ -505,6 +506,14 @@ class StereoTracker:
         c1c = n_close_tracked < 100 and n_close_untracked > 70
         return bool(c1a or c2 or c1c)
 
+    def _lm_cfg(self):
+        cfg = self.cfg
+        return lm_mod.LocalMapConfig(
+            n_neighbors=4, new_lm_budget=cfg.new_lm_budget,
+            n_levels=cfg.orb.n_levels, scale=cfg.orb.scale,
+            width=cfg.width, height=cfg.height,
+        )
+
     def _insert_keyframe(self, frame, R, t, cur_obs):
         kf_id = self.n_kf
         self.state, n_created = create_keyframe(
@@ -514,12 +523,26 @@ class StereoTracker:
         self.n_lm += int(n_created)
         self.n_kf += 1
         self.frames_since_kf = 0
-        # rebind frame obs to include the new landmarks
-        self.prev_obs = self.state.kf_obs[kf_id]
-        self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))
-        # synchronous local mapping (round-1: inline; later an async actor)
+        # synchronous local-mapping stages, reference pipeline order
+        # (src/LocalMapping.cc:83-250): triangulate -> fuse -> local BA -> cull
+        lcfg = self._lm_cfg()
+        neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
+        for i in range(min(kf_id, lcfg.n_neighbors)):
+            neighbors[i] = kf_id - 1 - i
+        self.state, n_tri = lm_mod.create_new_landmarks(
+            self.state, jnp.int32(kf_id), jnp.asarray(neighbors),
+            jnp.int32(self.n_lm), self.cam, self.bf, lcfg,
+        )
+        self.n_lm += int(n_tri)
+        self.state = lm_mod.fuse_duplicates(
+            self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
+        )
         adj, fixed = self._window_ids()
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
+        self.state = lm_mod.cull_landmarks(self.state, jnp.int32(self.n_kf), lcfg)
+        # rebind frame obs to the (possibly fused/culled) keyframe bindings
+        self.prev_obs = self.state.kf_obs[kf_id]
+        self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))
 
     # -- output --
 
