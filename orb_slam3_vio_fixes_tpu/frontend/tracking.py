@@ -345,10 +345,12 @@ class StereoTracker:
     track -> keyframe decision -> (keyframe insert + local BA).
     """
 
-    def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig()):
+    def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig(),
+                 loop_closer=None):
         self.cam = cam
         self.bf = jnp.float32(bf)
         self.cfg = cfg
+        self.loop_closer = loop_closer  # optional frontend.loop_closing.LoopCloser
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
         self.n_kf = 0
@@ -540,6 +542,18 @@ class StereoTracker:
         adj, fixed = self._window_ids()
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
         self.state = lm_mod.cull_landmarks(self.state, jnp.int32(self.n_kf), lcfg)
+        # loop closing (reference: LoopClosing::InsertKeyFrame queue,
+        # src/LocalMapping.cc:250 — synchronous call here, same kernels)
+        if self.loop_closer is not None:
+            self.state, loop_res = self.loop_closer.on_keyframe(
+                self.state, kf_id, self.n_kf)
+            if loop_res is not None and loop_res.corrected:
+                # re-base the tracker onto the corrected keyframe pose and
+                # drop the (now invalid) velocity model, like the reference
+                # does after CorrectLoop
+                self.R = self.state.kf_R[kf_id]
+                self.t = self.state.kf_t[kf_id]
+                self.vel = None
         # rebind frame obs to the (possibly fused/culled) keyframe bindings
         self.prev_obs = self.state.kf_obs[kf_id]
         self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))

@@ -198,7 +198,10 @@ def db_query(
     Returns (ids (n_best,), scores (n_best,)); ids are -1 where below
     min_score."""
     scores = l1_score(h_query, db.hist)
-    scores = jnp.where(exclude, -1.0, scores)
+    # empty rows (no keyframe stored) would score 0.5 against any unit-L1
+    # query — mask them out alongside the caller's exclusions
+    empty = jnp.sum(jnp.abs(db.hist), axis=-1) < 1e-9
+    scores = jnp.where(exclude | empty, -1.0, scores)
     top_s, top_i = jax.lax.top_k(scores, n_best)
     ok = top_s >= min_score
     return jnp.where(ok, top_i, -1), top_s

@@ -1,0 +1,170 @@
+"""Loop closing tests: BoW retrieval, Sim3 verification, graph correction.
+
+Scenario (map-level, no images): a trajectory leaves the origin and returns
+with accumulated odometry drift. The revisit keyframe re-observes the same
+world structure (same descriptors) but its features are bound to duplicated
+landmarks placed where the DRIFTED pose believes them to be — exactly the
+state the reference's LoopClosing sees (src/LoopClosing.cc:969: the current
+side of the loop is internally consistent but globally displaced).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_vio_fixes_tpu.frontend import loop_closing as lc
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, project
+
+CAM = Camera.pinhole(300.0, 300.0, 160.0, 120.0)
+M = 60          # landmarks seen at the loop site
+N_KF = 12
+DRIFT_T = np.array([0.25, 0.1, 0.0], np.float32)
+DRIFT_RVEC = np.array([0.0, 0.03, 0.0], np.float32)
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    rng = np.random.default_rng(11)
+    X = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
+                  rng.uniform(4.0, 8.0, M)], 1).astype(np.float32)
+    descs = rng.integers(0, 2**32, size=(M, 8), dtype=np.uint32)
+    # vocabulary trained on a pool containing the scene descriptors
+    pool = np.concatenate(
+        [descs, rng.integers(0, 2**32, size=(400, 8), dtype=np.uint32)])
+    vocab = voc.train(pool, branching=8, depth=2, seed=0)
+
+    # ground-truth out-and-back trajectory (camera centers)
+    centers = np.zeros((N_KF, 3), np.float32)
+    half = N_KF // 2
+    for k in range(1, half):
+        centers[k] = centers[k - 1] + [0.8, 0.0, 0.2]
+    for k in range(half, N_KF):
+        centers[k] = centers[k - 1] - [0.8, 0.0, 0.2]
+    R_gt = np.tile(np.eye(3, dtype=np.float32), (N_KF, 1, 1))
+    t_gt = np.einsum("kij,kj->ki", R_gt, -centers)
+
+    # drifted estimates: drift ramps up linearly along the trajectory
+    dR_full = np.asarray(lie.so3_exp(jnp.asarray(DRIFT_RVEC)))
+    R_est = R_gt.copy()
+    t_est = t_gt.copy()
+    for k in range(N_KF):
+        a = k / (N_KF - 1)
+        dRk = np.asarray(lie.so3_exp(jnp.asarray(DRIFT_RVEC * a)))
+        Ck = centers[k] + a * DRIFT_T
+        R_est[k] = (R_gt[k] @ dRk.T).astype(np.float32)
+        t_est[k] = -R_est[k] @ Ck
+
+    state = ms.empty(ms.MapConfig(max_keyframes=16, max_landmarks=512,
+                                  max_features=128, n_levels=4))
+
+    def insert(state, k, obs_ids, uv):
+        Nf = state.kf_uv.shape[1]
+        n = uv.shape[0]
+        pad = Nf - n
+        uvp = jnp.concatenate([jnp.asarray(uv, jnp.float32), jnp.zeros((pad, 2))])
+        dd = jnp.concatenate([jnp.asarray(descs, jnp.uint32),
+                              jnp.zeros((pad, 8), jnp.uint32)])
+        vv = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+        oo = jnp.concatenate([jnp.asarray(obs_ids, jnp.int32),
+                              jnp.full(pad, -1, jnp.int32)])
+        return ms.insert_keyframe(
+            state, jnp.int32(k), jnp.asarray(R_est[k]), jnp.asarray(t_est[k]),
+            jnp.float32(k), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.int32(k - 1), uvp, jnp.full(Nf, -1.0), jnp.zeros(Nf, jnp.int32),
+            jnp.zeros(Nf), dd, vv, oo, jnp.full(Nf, -1.0),
+        )
+
+    # KF0 observes the true landmarks
+    uv0 = np.asarray(project(CAM, jnp.asarray(X @ R_gt[0].T + t_gt[0])))
+    state = insert(state, 0, np.arange(M), uv0)
+    state = ms.add_landmarks(
+        state, jnp.arange(M, dtype=jnp.int32), jnp.asarray(X),
+        jnp.asarray(descs), jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (M, 1)),
+        jnp.full(M, 1.0), jnp.full(M, 20.0), jnp.int32(0), jnp.ones(M, bool),
+    )
+    # middle keyframes: pose chain only (no features)
+    for k in range(1, N_KF - 1):
+        state = ms.insert_keyframe(
+            state, jnp.int32(k), jnp.asarray(R_est[k]), jnp.asarray(t_est[k]),
+            jnp.float32(k), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.int32(k - 1),
+            state.kf_uv[k], state.kf_ur[k], state.kf_octave[k],
+            state.kf_angle[k], state.kf_desc[k],
+            jnp.zeros(state.kf_uv.shape[1], bool),
+            jnp.full(state.kf_uv.shape[1], -1, jnp.int32), state.kf_depth[k],
+        )
+    # revisit keyframe: same world points, bound to DUPLICATE landmarks at
+    # drift-displaced positions (internally consistent with its drifted pose)
+    kf_last = N_KF - 1
+    Xc_true = X @ R_gt[kf_last].T + t_gt[kf_last]       # true camera coords
+    uv_last = np.asarray(project(CAM, jnp.asarray(Xc_true)))
+    # duplicate landmark world positions under the drifted pose
+    X_dup = (Xc_true - t_est[kf_last]) @ R_est[kf_last]
+    state = insert(state, kf_last, np.arange(M, 2 * M), uv_last)
+    state = ms.add_landmarks(
+        state, jnp.arange(M, 2 * M, dtype=jnp.int32), jnp.asarray(X_dup),
+        jnp.asarray(descs), jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (M, 1)),
+        jnp.full(M, 1.0), jnp.full(M, 20.0), jnp.int32(kf_last),
+        jnp.ones(M, bool),
+    )
+    return dict(state=state, vocab=vocab, R_gt=R_gt, t_gt=t_gt,
+                centers=centers, X=X, kf_last=kf_last)
+
+
+def _closer(sc, **kw):
+    kw.setdefault("cfg", lc.LoopConfig(min_gap_kfs=8, min_score=0.02,
+                                       run_gba=False))
+    return lc.LoopCloser(sc["vocab"], CAM, 16, np.ones(4, np.float32), **kw)
+
+
+def test_detection_finds_revisited_place(scenario):
+    closer = _closer(scenario)
+    state = scenario["state"]
+    for k in range(N_KF - 1):
+        closer.add_keyframe(state, k)
+    hist = closer.add_keyframe(state, scenario["kf_last"])
+    cands = closer.detect(state, scenario["kf_last"], hist)
+    assert 0 in cands, f"revisit not retrieved, got {cands}"
+
+
+def test_sim3_verification_recovers_drift(scenario):
+    state = scenario["state"]
+    kf_last = scenario["kf_last"]
+    n_m, sim = lc.verify_candidate(
+        jax.random.PRNGKey(0), state, jnp.int32(kf_last), jnp.int32(0),
+        CAM, jnp.ones(4), 256, True,
+    )
+    assert int(n_m) >= 40
+    assert int(sim.n_inliers) >= 40
+    # S_cur_cand should equal the TRUE relative pose T_cw(last,gt) T_wc(0,gt)
+    R_rel = scenario["R_gt"][kf_last] @ scenario["R_gt"][0].T
+    t_rel = scenario["t_gt"][kf_last] - R_rel @ scenario["t_gt"][0]
+    assert np.allclose(np.asarray(sim.R), R_rel, atol=1e-2)
+    assert np.allclose(np.asarray(sim.t), t_rel, atol=0.05)
+    assert abs(float(sim.s) - 1.0) < 1e-3
+
+
+def test_loop_correction_removes_drift(scenario):
+    state = scenario["state"]
+    kf_last = scenario["kf_last"]
+    closer = _closer(scenario)
+    for k in range(N_KF - 1):
+        closer.add_keyframe(state, k)
+    state2, result = closer.on_keyframe(state, kf_last, N_KF)
+    assert result is not None and result.corrected
+    assert result.cand_id == 0
+    # drift before: position error of the last KF
+    C_before = scenario["centers"][kf_last] + DRIFT_T
+    C_after = -np.asarray(state2.kf_R[kf_last]).T @ np.asarray(state2.kf_t[kf_last])
+    err_before = np.linalg.norm(C_before - scenario["centers"][kf_last])
+    err_after = np.linalg.norm(C_after - scenario["centers"][kf_last])
+    assert err_after < 0.25 * err_before, (
+        f"loop correction too weak: {err_before:.3f} -> {err_after:.3f}")
+    # duplicated landmarks move back near the true structure
+    X_dup_corr = np.asarray(state2.lm_pos[M:2 * M])
+    err_lm = np.linalg.norm(X_dup_corr - scenario["X"], axis=1)
+    assert np.median(err_lm) < 0.1
