@@ -1,0 +1,558 @@
+"""Stereo-inertial tracking: IMU preintegration, init, joint VI optimization.
+
+TPU-native re-design of the reference's inertial tracking path
+(reference: src/Tracking.cc — GrabImuData :1618, PreintegrateIMU :1624-1735,
+PredictStateIMU :1738-1786, TrackLocalMap's dispatch to
+PoseInertialOptimizationLastFrame src/Optimizer.cc:4883-5298;
+LocalMapping::InitializeIMU src/LocalMapping.cc:1173-1427 with gravity
+bootstrap + InertialOptimization + ApplyScaledRotation; LocalInertialBA
+src/Optimizer.cc:2383-2958 for the temporal-window mapping BA).
+
+Composition: StereoInertialTracker extends the visual StereoTracker; the
+visual kernels are reused unchanged, and three inertial kernels are added —
+  * vi_motion_opt: 2-state (prev frame, current frame) joint visual+inertial
+    pose optimization with the previous state held by a marginal prior
+    (the reference's ConstraintPoseImu/EdgePriorPoseImu pattern);
+  * inertial_local_ba: temporal-window VI bundle adjustment over the last W
+    keyframes with compacted window landmarks;
+  * run on the host: the 3-stage IMU initialization (gravity bootstrap,
+    inertial-only optimization, map gravity alignment).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.frontend import tracking as trk
+from orb_slam3_vio_fixes_tpu.frontend.frame import FrameData, build_stereo_frame
+from orb_slam3_vio_fixes_tpu.imu import preintegration as pre
+from orb_slam3_vio_fixes_tpu.optim import inertial_init as ii
+from orb_slam3_vio_fixes_tpu.optim import vi_ba
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+# -- frame conventions -------------------------------------------------------
+# MapState stores camera poses T_cw (x_c = R_cw x_w + t_cw).
+# VI states are body-in-world (R_wb, p_wb). With camera-from-body extrinsics
+# (R_cb, t_cb): R_cw = R_cb R_wb^T, t_cw = -R_cb R_wb^T p_wb + t_cb.
+
+
+def cam_from_body(R_wb, p_wb, R_cb, t_cb):
+    R_cw = R_cb @ R_wb.T if R_wb.ndim == 2 else jnp.einsum(
+        "ij,klj->kil", R_cb, R_wb)
+    if R_wb.ndim == 2:
+        t_cw = -R_cw @ p_wb + t_cb
+    else:
+        t_cw = -jnp.einsum("kij,kj->ki", R_cw, p_wb) + t_cb
+    return R_cw, t_cw
+
+
+def body_from_cam(R_cw, t_cw, R_cb, t_cb):
+    if R_cw.ndim == 2:
+        # x_b = R_bw x_w + t_bw with R_bw = R_cb^T R_cw,
+        # t_bw = R_cb^T (t_cw - t_cb); p_wb = -R_bw^T t_bw
+        R_bw = R_cb.T @ R_cw
+        t_bw = R_cb.T @ (t_cw - t_cb)
+        return R_bw.T, -R_bw.T @ t_bw
+    R_bw = jnp.einsum("ij,kjl->kil", R_cb.T, R_cw)
+    t_bw = jnp.einsum("ij,kj->ki", R_cb.T, t_cw - t_cb)
+    return jnp.swapaxes(R_bw, -1, -2), -jnp.einsum("kji,kj->ki", R_bw, t_bw)
+
+
+class InertialConfig:
+    """Static knobs (hashable for jit)."""
+
+    def __init__(self, frame_samples=32, kf_samples=512, init_min_kfs=5,
+                 init_min_time=0.95, vi_window=8, max_local_lm=2048,
+                 fix_scale=True):
+        self.frame_samples = frame_samples
+        self.kf_samples = kf_samples
+        self.init_min_kfs = init_min_kfs
+        self.init_min_time = init_min_time
+        self.vi_window = vi_window
+        self.max_local_lm = max_local_lm
+        self.fix_scale = fix_scale
+
+    def _key(self):
+        return (self.frame_samples, self.kf_samples, self.init_min_kfs,
+                self.init_min_time, self.vi_window, self.max_local_lm,
+                self.fix_scale)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, o):
+        return isinstance(o, InertialConfig) and self._key() == o._key()
+
+
+class BodyState(NamedTuple):
+    R_wb: jax.Array
+    p_wb: jax.Array
+    v: jax.Array
+    bg: jax.Array
+    ba: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "icfg"))
+def vi_motion_opt(
+    state: ms.MapState,
+    prev: BodyState,              # previous frame body state
+    prior_H: jax.Array,           # (15,15) marginal info on prev state
+    cur: BodyState,               # predicted current state
+    pre_frame: pre.Preintegrated, # prev->cur preintegration
+    frame: FrameData,
+    cur_obs: jax.Array,
+    cam: Camera, bf,
+    calib: pre.ImuCalib,
+    cfg: trk.TrackerConfig,
+    icfg: InertialConfig,
+):
+    """Joint visual+inertial motion-only optimization for the current frame
+    (reference: PoseInertialOptimizationLastFrame src/Optimizer.cc:4883-5298
+    — 2x15-DoF states, reprojection edges on the current frame, one inertial
+    edge, 15-DoF prior on the previous frame, final marginalization of the
+    previous state into the next prior).
+
+    Returns (BodyState cur', cur_obs', n_inliers, next_prior_H).
+    """
+    N = frame.uv.shape[0]
+    L = state.lm_pos.shape[0]
+    ids = jnp.clip(cur_obs, 0, L - 1)
+    act = (cur_obs >= 0) & state.lm_valid[ids] & frame.valid
+    lm_local = state.lm_pos[ids]               # (N,3) compacted by feature
+
+    states = vi_ba.VIStates(
+        R_wb=jnp.stack([prev.R_wb, cur.R_wb]),
+        p_wb=jnp.stack([prev.p_wb, cur.p_wb]),
+        v=jnp.stack([prev.v, cur.v]),
+        bg=jnp.stack([prev.bg, cur.bg]),
+        ba=jnp.stack([prev.ba, cur.ba]),
+        fixed=jnp.asarray([False, False]),
+        valid=jnp.asarray([True, True]),
+    )
+    inv_s2 = trk.octave_inv_sigma2(cfg.orb)[
+        jnp.clip(frame.octave, 0, cfg.orb.n_levels - 1)]
+    uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+    reproj = vi_ba.VIReprojFactors(
+        state_idx=jnp.ones(N, jnp.int32),
+        lm_idx=jnp.arange(N, dtype=jnp.int32),
+        uvr=uvr, inv_sigma2=inv_s2, valid=act,
+    )
+    inertial = vi_ba.VIInertialFactors.from_preintegrations(
+        jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32),
+        jax.tree.map(lambda x: x[None], pre_frame), jnp.ones(1, bool),
+    )
+    prior = vi_ba.VIPrior(
+        state_idx=jnp.int32(0),
+        R_wb=prev.R_wb, p_wb=prev.p_wb, v=prev.v, bg=prev.bg, ba=prev.ba,
+        H=prior_H, valid=jnp.asarray(True),
+    )
+    prob = vi_ba.VIProblem(
+        states=states, lm=lm_local, lm_valid=act, lm_fixed=jnp.ones(N, bool),
+        reproj=reproj, inertial=inertial, prior=prior,
+        cam=cam, bf=bf, R_cb=calib.R_bc.T,
+        t_cb=-calib.R_bc.T @ calib.t_bc,
+    )
+    out, inlier, H = vi_ba.solve_vi_ba(prob, vi_ba.VIBAConfig(n_rounds=2, n_iters=5))
+    st = out.states
+    new_obs = jnp.where(inlier | ~act, cur_obs, -1)
+    n_inl = jnp.sum((inlier & act).astype(jnp.int32))
+    # marginalize the previous state -> prior for the next frame
+    next_H = vi_ba.marginalize(H, slice(15, 30), slice(0, 15))
+    cur2 = BodyState(st.R_wb[1], st.p_wb[1], st.v[1], st.bg[1], st.ba[1])
+    return cur2, new_obs, n_inl, next_H
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "icfg"), donate_argnums=(0,))
+def inertial_local_ba(
+    state: ms.MapState,
+    window_kfs: jax.Array,        # (W,) most-recent-first keyframe ids (-1 pad)
+    kf_imu: jax.Array,            # (W-1, S, 7) samples between window KFs
+                                  # kf_imu[i] joins window_kfs[i+1] -> [i]
+    kf_imu_valid: jax.Array,      # (W-1,)
+    cam: Camera, bf,
+    calib: pre.ImuCalib,
+    cfg: trk.TrackerConfig,
+    icfg: InertialConfig,
+):
+    """Temporal-window visual-inertial BA (reference: LocalInertialBA
+    src/Optimizer.cc:2383-2958 — last Nd keyframes + their landmarks, IMU
+    chain between consecutive window keyframes, oldest state fixed).
+
+    Window landmarks are compacted to icfg.max_local_lm via an inverse
+    permutation (VIProblem requires a compact landmark block)."""
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    W = window_kfs.shape[0]
+    safe = jnp.clip(window_kfs, 0, K - 1)
+    ok = (window_kfs >= 0) & state.kf_valid[safe]
+
+    # body states from camera poses
+    R_cb = calib.R_bc.T
+    t_cb = -calib.R_bc.T @ calib.t_bc
+    R_wb, p_wb = body_from_cam(state.kf_R[safe], state.kf_t[safe], R_cb, t_cb)
+    # oldest valid keyframe in the window is the gauge anchor
+    oldest = jnp.max(jnp.where(ok, jnp.arange(W), -1))
+    fixed = (jnp.arange(W) == oldest) | ~ok
+    states = vi_ba.VIStates(
+        R_wb=R_wb, p_wb=p_wb, v=state.kf_vel[safe],
+        bg=state.kf_bg[safe], ba=state.kf_ba[safe],
+        fixed=fixed, valid=ok,
+    )
+
+    # compacted window landmarks
+    obs_rows = jnp.where(ok[:, None], state.kf_obs[safe], -1)       # (W, N)
+    cand_mask = jnp.zeros(L, bool).at[
+        jnp.clip(obs_rows.reshape(-1), 0, L - 1)].max(obs_rows.reshape(-1) >= 0)
+    cand_mask &= state.lm_valid
+    M = icfg.max_local_lm
+    _, cand_idx = jax.lax.top_k(cand_mask.astype(jnp.float32), M)
+    cand_ok = cand_mask[cand_idx]
+    inv = jnp.full(L, -1, jnp.int32).at[cand_idx].set(
+        jnp.where(cand_ok, jnp.arange(M, dtype=jnp.int32), -1))
+
+    inv_s2_oct = trk.octave_inv_sigma2(cfg.orb)
+    flat_obs = obs_rows.reshape(-1)
+    lm_loc = inv[jnp.clip(flat_obs, 0, L - 1)]
+    f_valid = (flat_obs >= 0) & (lm_loc >= 0) & state.kf_feat_valid[safe].reshape(-1)
+    uvr = jnp.concatenate(
+        [state.kf_uv[safe], state.kf_ur[safe][..., None]], -1).reshape(-1, 3)
+    inv_s2 = inv_s2_oct[
+        jnp.clip(state.kf_octave[safe], 0, cfg.orb.n_levels - 1)].reshape(-1)
+    reproj = vi_ba.VIReprojFactors(
+        state_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
+        lm_idx=jnp.clip(lm_loc, 0, M - 1),
+        uvr=uvr, inv_sigma2=inv_s2, valid=f_valid,
+    )
+
+    # inertial factors between consecutive window keyframes (window is
+    # most-recent-first: factor i connects state i+1 (older) -> state i)
+    pres = jax.vmap(
+        lambda w, bg0, ba0: pre.integrate(w, bg0, ba0, calib)
+    )(kf_imu, state.kf_bg[safe][1:], state.kf_ba[safe][1:])
+    pair_valid = kf_imu_valid & ok[1:] & ok[:-1]
+    inertial = vi_ba.VIInertialFactors.from_preintegrations(
+        jnp.arange(1, W, dtype=jnp.int32), jnp.arange(0, W - 1, dtype=jnp.int32),
+        pres, pair_valid,
+    )
+    # single-observer landmarks stay fixed at their stereo anchor
+    n_obs = ms.landmark_obs_count(state)[jnp.clip(cand_idx, 0, L - 1)]
+    prob = vi_ba.VIProblem(
+        states=states,
+        lm=state.lm_pos[cand_idx], lm_valid=cand_ok,
+        lm_fixed=(n_obs < 2) | ~cand_ok,
+        reproj=reproj, inertial=inertial, prior=vi_ba.VIPrior.none(),
+        cam=cam, bf=bf, R_cb=R_cb, t_cb=t_cb,
+    )
+    out, inlier, _ = vi_ba.solve_vi_ba(prob, vi_ba.VIBAConfig(n_rounds=2, n_iters=6))
+    st = out.states
+
+    # write back: poses, velocities, biases, landmark positions
+    R_cw, t_cw = cam_from_body(st.R_wb, st.p_wb, R_cb, t_cb)
+    upd = ok & ~fixed
+    state = state._replace(
+        kf_R=state.kf_R.at[safe].set(
+            jnp.where(upd[:, None, None], R_cw, state.kf_R[safe])),
+        kf_t=state.kf_t.at[safe].set(
+            jnp.where(upd[:, None], t_cw, state.kf_t[safe])),
+        kf_vel=state.kf_vel.at[safe].set(
+            jnp.where(ok[:, None], st.v, state.kf_vel[safe])),
+        kf_bg=state.kf_bg.at[safe].set(
+            jnp.where(ok[:, None], st.bg, state.kf_bg[safe])),
+        kf_ba=state.kf_ba.at[safe].set(
+            jnp.where(ok[:, None], st.ba, state.kf_ba[safe])),
+        lm_pos=state.lm_pos.at[cand_idx].set(
+            jnp.where(cand_ok[:, None], out.lm, state.lm_pos[cand_idx])),
+        epoch=state.epoch + 1,
+    )
+    # drop outlier observations of window keyframes
+    drop = (f_valid & ~inlier).reshape(W, N)
+    new_rows = jnp.where(drop, -1, state.kf_obs[safe])
+    state = state._replace(kf_obs=state.kf_obs.at[safe].set(
+        jnp.where(ok[:, None], new_rows, state.kf_obs[safe])))
+    return state
+
+
+class StereoInertialTracker(trk.StereoTracker):
+    """Stereo-inertial SLAM front end (IMU_STEREO sensor mode).
+
+    Host additions over the visual tracker: an IMU buffer between frames and
+    keyframes, the 3-stage IMU initialization, the marginalized-prior joint
+    motion optimization after init, and inertial window BA for mapping.
+    """
+
+    def __init__(self, cam: Camera, bf: float, calib: pre.ImuCalib,
+                 cfg: trk.TrackerConfig = trk.TrackerConfig(),
+                 icfg: InertialConfig = InertialConfig(), loop_closer=None):
+        super().__init__(cam, bf, cfg, loop_closer=loop_closer)
+        self.calib = calib
+        self.icfg = icfg
+        self.imu_ready = False
+        self.body = None            # BodyState of the last frame
+        self.prior_H = jnp.eye(15) * 1e6
+        self.kf_imu_buf = []        # samples since the last keyframe (np)
+        self.kf_windows = {}        # kf_id -> (S,7) np window from prev KF
+        self.t_first_kf = None
+        self.n_vi_ba = 0
+        self.velocity_log = []
+
+    # -- helpers --
+
+    def _pad_frame_imu(self, imu_np):
+        S = self.icfg.frame_samples
+        out = np.zeros((S, 7), np.float32)
+        n = min(len(imu_np), S)
+        out[:n] = imu_np[:n]
+        return jnp.asarray(out)
+
+    def _pad_kf_imu(self, samples):
+        S = self.icfg.kf_samples
+        out = np.zeros((S, 7), np.float32)
+        n = min(len(samples), S)
+        if n:
+            out[:n] = samples[:n]
+        return out
+
+    def process_stereo_inertial(self, img_l, img_r, ts: float, imu_np):
+        """imu_np: (n, 7) float32 [acc(3), gyro(3), dt] samples since the
+        previous frame."""
+        cfg = self.cfg
+        imu_np = np.asarray(imu_np, np.float32).reshape(-1, 7)
+        frame = build_stereo_frame(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.float32(ts), self.cam, self.bf, cfg.orb,
+        )
+        if self.track_state == trk.TrackState.NOT_INITIALIZED:
+            ok = self._initialize(frame)
+            if ok:
+                self.t_first_kf = ts
+                self.kf_imu_buf = []
+                R_wb0, p_wb0 = body_from_cam(
+                    self.R, self.t, self.calib.R_bc.T,
+                    -self.calib.R_bc.T @ self.calib.t_bc)
+                self.body = BodyState(R_wb0, p_wb0, jnp.zeros(3),
+                                      jnp.zeros(3), jnp.zeros(3))
+            self._record(ts)
+            return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+        self.kf_imu_buf.extend(list(imu_np))
+        bg, ba = self.body.bg, self.body.ba
+        pre_frame = pre.integrate(self._pad_frame_imu(imu_np), bg, ba, self.calib)
+
+        # pose prediction
+        if self.imu_ready:
+            R2, p2, v2 = pre.predict_state(
+                self.body.R_wb, self.body.p_wb, self.body.v, bg, ba, pre_frame)
+            cur_pred = BodyState(R2, p2, v2, bg, ba)
+            R_pred, t_pred = cam_from_body(
+                R2, p2, self.calib.R_bc.T, -self.calib.R_bc.T @ self.calib.t_bc)
+        elif self.vel is not None:
+            dR, dt = self.vel
+            R_pred = dR @ self.R
+            t_pred = dR @ self.t + dt
+        else:
+            R_pred, t_pred = self.R, self.t
+
+        cur_obs, n_m = trk.match_previous(
+            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
+            frame, self.cam, self.bf, jnp.float32(7.0), cfg,
+        )
+        if int(n_m) < 20:
+            cur_obs, n_m = trk.match_previous(
+                self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
+                frame, self.cam, self.bf, jnp.float32(14.0), cfg,
+            )
+
+        if self.imu_ready:
+            # joint VI motion-only; then widen with the local map and re-run
+            cur_body, cur_obs, n_inl, next_H = vi_motion_opt(
+                self.state, self.body, self.prior_H, cur_pred, pre_frame,
+                frame, cur_obs, self.cam, self.bf, self.calib, cfg, self.icfg)
+            R1, t1 = cam_from_body(
+                cur_body.R_wb, cur_body.p_wb, self.calib.R_bc.T,
+                -self.calib.R_bc.T @ self.calib.t_bc)
+            window = self._local_window()
+            R2, t2, cur_obs, n_inl2 = trk.track_local_map(
+                self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
+                jnp.float32(1.0), cfg,
+            )
+            cur_body, cur_obs, n_inl2, next_H = vi_motion_opt(
+                self.state, self.body, self.prior_H, cur_body, pre_frame,
+                frame, cur_obs, self.cam, self.bf, self.calib, cfg, self.icfg)
+            R2, t2 = cam_from_body(
+                cur_body.R_wb, cur_body.p_wb, self.calib.R_bc.T,
+                -self.calib.R_bc.T @ self.calib.t_bc)
+            self.body = cur_body
+            self.prior_H = next_H
+            self.velocity_log.append(np.asarray(cur_body.v))
+        else:
+            R1, t1, cur_obs, n_inl = trk.pose_opt_from_obs(
+                self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg)
+            window = self._local_window()
+            R2, t2, cur_obs, n_inl2 = trk.track_local_map(
+                self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
+                jnp.float32(1.0), cfg,
+            )
+            # keep a body-state shadow for the init stage
+            R_wb, p_wb = body_from_cam(
+                R2, t2, self.calib.R_bc.T, -self.calib.R_bc.T @ self.calib.t_bc)
+            self.body = BodyState(R_wb, p_wb, self.body.v, bg, ba)
+
+        n_inl2_i = int(n_inl2)
+        self.last_n_inliers = n_inl2_i
+        if n_inl2_i < cfg.min_kf_inliers and not self.imu_ready:
+            self.track_state = trk.TrackState.RECENTLY_LOST
+            self._set_frame(frame, R_pred, t_pred, cur_obs)
+            self._record(ts)
+            return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+        self.track_state = trk.TrackState.OK
+        dR = lie.so3_normalize(R2 @ self.R.T)
+        dt = t2 - dR @ self.t
+        self.vel = (dR, dt)
+        self._set_frame(frame, R2, t2, cur_obs)
+        self.frames_since_kf += 1
+
+        if self._need_keyframe(frame, cur_obs, n_inl2_i) or (
+                not self.imu_ready and self.frames_since_kf >= 5):
+            self._insert_keyframe_inertial(frame, R2, t2, cur_obs, ts)
+        self._record(ts)
+        return np.asarray(self.R), np.asarray(self.t), self.track_state
+
+    def _insert_keyframe_inertial(self, frame, R, t, cur_obs, ts):
+        kf_id = self.n_kf
+        window = self._pad_kf_imu(self.kf_imu_buf)
+        self.kf_windows[kf_id] = window
+        self.kf_imu_buf = []
+        self._insert_keyframe(frame, R, t, cur_obs)   # visual stages + BA
+        # stamp the inertial state onto the keyframe slot
+        st = self.state
+        self.state = st._replace(
+            kf_vel=st.kf_vel.at[kf_id].set(self.body.v),
+            kf_bg=st.kf_bg.at[kf_id].set(self.body.bg),
+            kf_ba=st.kf_ba.at[kf_id].set(self.body.ba),
+        )
+        if not self.imu_ready:
+            if (self.n_kf >= self.icfg.init_min_kfs
+                    and ts - self.t_first_kf >= self.icfg.init_min_time):
+                self._initialize_imu()
+        else:
+            self._run_inertial_ba(kf_id)
+            # re-base the tracker on the refined keyframe state
+            self.R = self.state.kf_R[kf_id]
+            self.t = self.state.kf_t[kf_id]
+            R_wb, p_wb = body_from_cam(
+                self.R, self.t, self.calib.R_bc.T,
+                -self.calib.R_bc.T @ self.calib.t_bc)
+            self.body = BodyState(
+                R_wb, p_wb, self.state.kf_vel[kf_id],
+                self.state.kf_bg[kf_id], self.state.kf_ba[kf_id])
+            self.prior_H = jnp.eye(15) * 1e2   # weak prior after re-base
+
+    def _window_imu(self, window_ids):
+        """(W-1, S, 7) stacked sample windows joining consecutive window KFs
+        (most-recent-first ids)."""
+        S = self.icfg.kf_samples
+        W = len(window_ids)
+        out = np.zeros((W - 1, S, 7), np.float32)
+        valid = np.zeros(W - 1, bool)
+        for i in range(W - 1):
+            newer = window_ids[i]
+            older = window_ids[i + 1]
+            if newer >= 0 and older >= 0 and newer in self.kf_windows:
+                out[i] = self.kf_windows[newer]
+                valid[i] = True
+        return jnp.asarray(out), jnp.asarray(valid)
+
+    def _run_inertial_ba(self, kf_id):
+        W = self.icfg.vi_window
+        ids = [kf_id - i if kf_id - i >= 0 else -1 for i in range(W)]
+        kf_imu, imu_valid = self._window_imu(ids)
+        self.state = inertial_local_ba(
+            self.state, jnp.asarray(np.asarray(ids, np.int32)), kf_imu,
+            imu_valid, self.cam, self.bf, self.calib, self.cfg, self.icfg,
+        )
+        self.n_vi_ba += 1
+
+    def _initialize_imu(self):
+        """3-stage IMU initialization (reference: InitializeIMU
+        src/LocalMapping.cc:1173-1427): per-pair preintegration, gravity
+        bootstrap, inertial-only optimization, gravity alignment of the map,
+        then a full VI window BA."""
+        K = self.n_kf
+        R_cb = self.calib.R_bc.T
+        t_cb = -self.calib.R_bc.T @ self.calib.t_bc
+        R_wb, p_wb = body_from_cam(
+            self.state.kf_R[:K], self.state.kf_t[:K], R_cb, t_cb)
+
+        # preintegrations between consecutive keyframes (zero bias)
+        wins = np.stack([self._pad_kf_imu(self.kf_windows.get(k, []))
+                         for k in range(1, K)])
+        zero = jnp.zeros(3)
+        pres = jax.vmap(lambda w: pre.integrate(jnp.asarray(w), zero, zero,
+                                                self.calib))(jnp.asarray(wins))
+        # gravity bootstrap
+        R_wg = ii.gravity_bootstrap(R_wb[:-1], pres.dV, jnp.ones(K - 1, bool))
+        # velocity init by finite differences
+        dts = np.maximum(np.diff(np.asarray(self.state.kf_ts[:K])), 1e-3)
+        v0 = np.zeros((K, 3), np.float32)
+        p_np = np.asarray(p_wb)
+        v0[:-1] = (p_np[1:] - p_np[:-1]) / dts[:, None]
+        v0[-1] = v0[-2]
+
+        factors = ii.factors_from_preintegrations(
+            np.arange(K - 1, dtype=np.int32), np.arange(1, K, dtype=np.int32),
+            pres, np.ones(K - 1, bool),
+        )
+        # rotate world to put bootstrap gravity along -Z first
+        R_gw = R_wg.T
+        R_wb_g = jnp.einsum("ij,kjl->kil", R_gw, R_wb)
+        p_wb_g = jnp.einsum("ij,kj->ki", R_gw, p_wb)
+        v, bg, ba, Rwg2, scale, chi2 = ii.inertial_optimization(
+            R_wb_g, p_wb_g, jnp.einsum("ij,kj->ki", R_gw, jnp.asarray(v0)),
+            factors,
+            ii.InertialInitConfig(fix_scale=self.icfg.fix_scale),
+        )
+        # total world correction: refined gravity dir on top of bootstrap
+        R_gw_total = Rwg2.T @ R_gw
+        kf_R2, kf_t2, kf_vel2, lm2 = ii.apply_scaled_rotation(
+            self.state.kf_R, self.state.kf_t,
+            jnp.zeros_like(self.state.kf_vel), self.state.lm_pos,
+            R_gw_total, scale,
+        )
+        # v lives in the bootstrap-rotated frame; the final world applies the
+        # refined-gravity rotation Rwg2^T on top of it
+        vel_full = jnp.zeros_like(self.state.kf_vel)
+        vel_full = vel_full.at[:K].set(
+            scale * jnp.einsum("ji,kj->ki", Rwg2, v))
+        self.state = self.state._replace(
+            kf_R=kf_R2, kf_t=kf_t2, kf_vel=vel_full, lm_pos=lm2,
+            kf_bg=self.state.kf_bg.at[:K].set(jnp.tile(bg, (K, 1))),
+            kf_ba=self.state.kf_ba.at[:K].set(jnp.tile(ba, (K, 1))),
+            epoch=self.state.epoch + 1,
+        )
+        self.state = ms.update_landmark_stats(self.state)
+        # re-base the tracker state
+        kf_last = K - 1
+        self.R = self.state.kf_R[kf_last]
+        self.t = self.state.kf_t[kf_last]
+        R_wb_l, p_wb_l = body_from_cam(self.R, self.t, R_cb, t_cb)
+        self.body = BodyState(R_wb_l, p_wb_l, self.state.kf_vel[kf_last], bg, ba)
+        self.prior_H = jnp.eye(15) * 1e2
+        self.vel = None
+        self.imu_ready = True
+        # VIBA over the window (reference: FullInertialBA after init)
+        self._run_inertial_ba(kf_last)
+        self.R = self.state.kf_R[kf_last]
+        self.t = self.state.kf_t[kf_last]
+        R_wb_l, p_wb_l = body_from_cam(self.R, self.t, R_cb, t_cb)
+        self.body = BodyState(
+            R_wb_l, p_wb_l, self.state.kf_vel[kf_last],
+            self.state.kf_bg[kf_last], self.state.kf_ba[kf_last])
