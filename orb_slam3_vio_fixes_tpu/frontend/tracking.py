@@ -394,11 +394,25 @@ class StereoTracker:
         return jnp.asarray(ids)
 
     def process_stereo(self, img_l, img_r, ts: float):
-        cfg = self.cfg
         frame = build_stereo_frame(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.float32(ts), self.cam, self.bf, cfg.orb,
+            jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
+        return self.process_frame(frame, ts)
+
+    def process_rgbd(self, img, depth, ts: float):
+        """RGB-D entry (reference: System::TrackRGBD src/System.cc:328 +
+        Frame RGBD ctor src/Frame.cc:200): depth sampled at keypoints becomes
+        a synthetic right coordinate; the rest of the pipeline is shared."""
+        from orb_slam3_vio_fixes_tpu.frontend.frame import build_rgbd_frame
+        frame = build_rgbd_frame(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
+        )
+        return self.process_frame(frame, ts)
+
+    def process_frame(self, frame: FrameData, ts: float):
+        cfg = self.cfg
         if self.track_state == TrackState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             self._record(ts)

@@ -205,6 +205,35 @@ def make_stereo_inertial_sequence(
     )
 
 
+class RGBDSequence(NamedTuple):
+    imgs: np.ndarray     # (T, H, W)
+    depths: np.ndarray   # (T, H, W) metric depth (-1 unknown)
+    ts: np.ndarray
+    R_wc: np.ndarray
+    t_wc: np.ndarray
+    K: np.ndarray
+
+
+def make_rgbd_sequence(
+    rng, n_frames=30, h=240, w=352, fx=260.0, dt=0.05,
+    speed=(0.8, 0.0, 0.12), yaw_rate=0.06, world=None,
+) -> RGBDSequence:
+    """Gray + dense-depth frames along a known trajectory (for the RGBD
+    sensor mode, reference: Examples/RGB-D)."""
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    if world is None:
+        world = make_world(rng)
+    R_wc, t_wc = orbit_trajectory(n_frames, dt, speed=speed, yaw_rate=yaw_rate)
+    imgs = np.zeros((n_frames, h, w), np.float32)
+    depths = np.zeros((n_frames, h, w), np.float32)
+    for i in range(n_frames):
+        R_cw = R_wc[i].T
+        imgs[i], depths[i] = render(
+            world, K, R_cw, -R_cw @ t_wc[i], h, w, return_depth=True)
+    ts = np.arange(n_frames) * dt
+    return RGBDSequence(imgs, depths, ts, R_wc, t_wc, K)
+
+
 def make_stereo_sequence(
     rng, n_frames=40, h=320, w=480, fx=350.0, baseline=0.11, dt=0.05,
     speed=(0.8, 0.0, 0.12), yaw_rate=0.06, world=None,
