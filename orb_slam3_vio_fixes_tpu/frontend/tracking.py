@@ -346,11 +346,14 @@ class StereoTracker:
     """
 
     def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig(),
-                 loop_closer=None):
+                 loop_closer=None, relocalizer=None):
         self.cam = cam
         self.bf = jnp.float32(bf)
         self.cfg = cfg
         self.loop_closer = loop_closer  # optional frontend.loop_closing.LoopCloser
+        self.relocalizer = relocalizer  # optional frontend.relocalization.Relocalizer
+        self.lost_frames = 0
+        self.max_lost_frames = 20       # reference: time_recently_lost (~1 s)
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
         self.n_kf = 0
@@ -418,6 +421,29 @@ class StereoTracker:
             self._record(ts)
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
+        if (self.track_state in (TrackState.RECENTLY_LOST, TrackState.LOST)
+                and self.relocalizer is not None):
+            # relocalization (reference: Track()'s RECENTLY_LOST branch,
+            # src/Tracking.cc:1988-2011 -> Relocalization :3609). Without a
+            # relocalizer the tracker falls through to the motion-model
+            # attempt below (pure-visual small-gap recovery).
+            hit = self.relocalizer.relocalize(
+                self.state, frame, self.cam, self.bf, cfg)
+            if hit is not None:
+                R, t, cur_obs, n_inl = hit
+                self.track_state = TrackState.OK
+                self.lost_frames = 0
+                self.vel = None
+                self.last_n_inliers = n_inl
+                self._set_frame(frame, R, t, cur_obs)
+                self._record(ts)
+                return np.asarray(self.R), np.asarray(self.t), self.track_state
+            self.lost_frames += 1
+            if self.lost_frames > self.max_lost_frames:
+                self.track_state = TrackState.LOST
+            self._record(ts)
+            return np.asarray(self.R), np.asarray(self.t), self.track_state
+
         # pose prediction (constant-velocity motion model)
         if self.vel is not None:
             dR, dt = self.vel
@@ -455,6 +481,7 @@ class StereoTracker:
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
         self.track_state = TrackState.OK
+        self.lost_frames = 0
         # velocity update: T_cur * inv(T_prev); keep dR on SO(3) — the motion
         # model re-applies it every frame, so orthonormality drift compounds
         dR = lie.so3_normalize(R2 @ self.R.T)

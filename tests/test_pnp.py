@@ -1,0 +1,77 @@
+"""PnP RANSAC unit tests against a known pose (reference analogue:
+MLPnPsolver used in Relocalization, src/Tracking.cc:3656-3658)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.ops import pnp
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+def make_problem(rng, n=200, outlier_frac=0.0, noise=0.0):
+    cam = Camera.pinhole(300.0, 300.0, 320.0, 240.0)
+    X = np.stack([
+        rng.uniform(-4, 4, n), rng.uniform(-3, 3, n), rng.uniform(4, 12, n)
+    ], 1).astype(np.float32)
+    w = rng.normal(0, 0.3, 3).astype(np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t = rng.normal(0, 0.5, 3).astype(np.float32)
+    Xc = X @ R.T + t
+    uv = np.stack([
+        300.0 * Xc[:, 0] / Xc[:, 2] + 320.0,
+        300.0 * Xc[:, 1] / Xc[:, 2] + 240.0,
+    ], 1).astype(np.float32)
+    uv += rng.normal(0, noise, uv.shape).astype(np.float32)
+    n_out = int(outlier_frac * n)
+    if n_out:
+        ids = rng.choice(n, n_out, replace=False)
+        uv[ids] = rng.uniform([0, 0], [640, 480], (n_out, 2)).astype(np.float32)
+    return cam, X, uv, R, t, n_out
+
+
+def run(rng_seed, **kw):
+    rng = np.random.default_rng(rng_seed)
+    cam, X, uv, R, t, n_out = make_problem(rng, **kw)
+    n = X.shape[0]
+    res = pnp.pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(uv),
+        jnp.ones(n, bool), jnp.ones(n), cam,
+    )
+    return res, R, t, n, n_out
+
+
+def test_pnp_exact():
+    # the minimal 6-pt DLT in float32 is ~1e-2 accurate; the contract is
+    # RANSAC finds the inlier set, pose_optimize then refines (the reference
+    # runs PoseOptimization after MLPnP RANSAC too, src/Tracking.cc:3686)
+    res, R, t, n, _ = run(0)
+    assert bool(res.success)
+    assert int(res.n_inliers) > 0.95 * n
+    assert np.allclose(np.asarray(res.R), R, atol=2e-2)
+    assert np.allclose(np.asarray(res.t), t, atol=5e-2)
+
+
+def test_pnp_refined():
+    from orb_slam3_vio_fixes_tpu.optim import ba_core
+    rng = np.random.default_rng(0)
+    cam, X, uv, R, t, _ = make_problem(rng)
+    n = X.shape[0]
+    res = pnp.pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(uv),
+        jnp.ones(n, bool), jnp.ones(n), cam)
+    uvr = jnp.concatenate([jnp.asarray(uv), -jnp.ones((n, 1))], -1)
+    ref = ba_core.pose_optimize(
+        res.R, res.t, jnp.asarray(X), uvr, jnp.ones(n), res.inliers,
+        cam, jnp.float32(0.0))
+    assert np.allclose(np.asarray(ref.R), R, atol=2e-3)
+    assert np.allclose(np.asarray(ref.t), t, atol=5e-3)
+
+
+def test_pnp_outliers_and_noise():
+    res, R, t, n, n_out = run(1, outlier_frac=0.4, noise=0.5)
+    assert bool(res.success)
+    assert int(res.n_inliers) > 0.8 * (n - n_out)
+    assert np.allclose(np.asarray(res.R), R, atol=5e-2)
+    assert np.allclose(np.asarray(res.t), t, atol=0.15)
