@@ -178,6 +178,22 @@ class LoopCloser:
         self.loop_edges = []   # (i_cand, j_cur, (R, t, s)) accepted loops
         self.n_corrections = 0
 
+    def reset(self):
+        """Clear the database (active map was stashed or reset)."""
+        K, W = self.db.hist.shape
+        self.db = voc.KeyFrameDatabase.empty(K, W)
+
+    def rebuild_after_merge(self, old_hists: np.ndarray, kf_off: int,
+                            n_cur: int):
+        """After a map merge the keyframe ids shift: stored-map rows keep
+        ids [0, kf_off), active-map rows move to [kf_off, kf_off + n_cur)."""
+        K, W = self.db.hist.shape
+        h = np.zeros((K, W), np.float32)
+        h[:min(kf_off, K)] = old_hists[:min(kf_off, K)]
+        cur = np.asarray(self.db.hist[:n_cur])
+        h[kf_off:kf_off + n_cur] = cur
+        self.db = voc.KeyFrameDatabase(jnp.asarray(h))
+
     def add_keyframe(self, state: ms.MapState, kf_id: int):
         hist = kf_histogram(self.vocab, state.kf_desc[kf_id],
                             state.kf_feat_valid[kf_id])

@@ -133,68 +133,28 @@ class MonocularTracker(trk.StereoTracker):
     """
 
     def __init__(self, cam: Camera, cfg: trk.TrackerConfig = trk.TrackerConfig(),
-                 loop_closer=None, init_window: float = 100.0):
+                 loop_closer=None, relocalizer=None, atlas=None,
+                 init_window: float = 100.0):
         cfg = cfg._replace(kf_inlier_ratio=0.9)
-        super().__init__(cam, 0.0, cfg, loop_closer=loop_closer)
+        super().__init__(cam, 0.0, cfg, loop_closer=loop_closer,
+                         relocalizer=relocalizer, atlas=atlas)
         self.init_window = init_window
         self.ref_frame = None       # initialization reference FrameData
         self.rng = jax.random.PRNGKey(0)
+        self.match_radius = (15.0, 30.0)  # reference: th=15 for mono
 
     def process_mono(self, img, ts: float):
-        cfg = self.cfg
         frame = build_mono_frame(
-            jnp.asarray(img, jnp.float32), jnp.float32(ts), cfg.orb)
-        if self.track_state == trk.TrackState.NOT_INITIALIZED:
-            self._try_initialize(frame)
-            self._record(ts)
-            return np.asarray(self.R), np.asarray(self.t), self.track_state
+            jnp.asarray(img, jnp.float32), jnp.float32(ts), self.cfg.orb)
+        return self.process_frame(frame, ts)
 
-        if self.vel is not None:
-            dR, dt = self.vel
-            R_pred = dR @ self.R
-            t_pred = dR @ self.t + dt
-        else:
-            R_pred, t_pred = self.R, self.t
-
-        cur_obs, n_m = trk.match_previous(
-            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-            frame, self.cam, self.bf, jnp.float32(15.0), cfg,
-        )
-        if int(n_m) < 20:
-            cur_obs, n_m = trk.match_previous(
-                self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-                frame, self.cam, self.bf, jnp.float32(30.0), cfg,
-            )
-        R1, t1, cur_obs, n_inl = trk.pose_opt_from_obs(
-            self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg)
-        window = self._local_window()
-        R2, t2, cur_obs, n_inl2 = trk.track_local_map(
-            self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-            jnp.float32(1.0), cfg,
-        )
-        n_inl2_i = int(n_inl2)
-        self.last_n_inliers = n_inl2_i
-        if n_inl2_i < cfg.min_kf_inliers:
-            self.track_state = trk.TrackState.RECENTLY_LOST
-            self._set_frame(frame, R_pred, t_pred, cur_obs)
-            self._record(ts)
-            return np.asarray(self.R), np.asarray(self.t), self.track_state
-
-        self.track_state = trk.TrackState.OK
-        from orb_slam3_vio_fixes_tpu.utils import lie
-        dR = lie.so3_normalize(R2 @ self.R.T)
-        dt = t2 - dR @ self.t
-        self.vel = (dR, dt)
-        self._set_frame(frame, R2, t2, cur_obs)
-        self.frames_since_kf += 1
-        if self._need_keyframe_mono(n_inl2_i):
-            self._insert_keyframe(frame, R2, t2, cur_obs)
-        self._record(ts)
-        return np.asarray(self.R), np.asarray(self.t), self.track_state
+    def _spawn_new_map(self):
+        super()._spawn_new_map()
+        self.ref_frame = None
 
     # -- initialization --
 
-    def _try_initialize(self, frame: FrameData):
+    def _initialize(self, frame: FrameData):
         n_feat = int(jnp.sum(frame.valid.astype(jnp.int32)))
         if self.ref_frame is None:
             if n_feat >= 100:
@@ -236,7 +196,7 @@ class MonocularTracker(trk.StereoTracker):
         self.ref_frame = None
         return True
 
-    def _need_keyframe_mono(self, n_inliers):
+    def _need_keyframe(self, frame, cur_obs, n_inliers):
         """Mono keyframe rule (reference A.9): thRefRatio=0.9, no close-point
         condition, never queue more than one."""
         cfg = self.cfg

@@ -346,14 +346,17 @@ class StereoTracker:
     """
 
     def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig(),
-                 loop_closer=None, relocalizer=None):
+                 loop_closer=None, relocalizer=None, atlas=None):
         self.cam = cam
         self.bf = jnp.float32(bf)
         self.cfg = cfg
         self.loop_closer = loop_closer  # optional frontend.loop_closing.LoopCloser
         self.relocalizer = relocalizer  # optional frontend.relocalization.Relocalizer
+        self.atlas = atlas              # optional slam_map.atlas.Atlas
         self.lost_frames = 0
         self.max_lost_frames = 20       # reference: time_recently_lost (~1 s)
+        self.match_radius = (7.0, 14.0)  # motion-model search th (widened)
+        self.map_id = 0                  # active-map ordinal (Atlas)
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
         self.n_kf = 0
@@ -422,13 +425,14 @@ class StereoTracker:
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
         if (self.track_state in (TrackState.RECENTLY_LOST, TrackState.LOST)
-                and self.relocalizer is not None):
+                and (self.relocalizer is not None or self.atlas is not None)):
             # relocalization (reference: Track()'s RECENTLY_LOST branch,
             # src/Tracking.cc:1988-2011 -> Relocalization :3609). Without a
-            # relocalizer the tracker falls through to the motion-model
-            # attempt below (pure-visual small-gap recovery).
-            hit = self.relocalizer.relocalize(
+            # relocalizer and atlas the tracker falls through to the
+            # motion-model attempt below (pure-visual small-gap recovery).
+            hit = (self.relocalizer.relocalize(
                 self.state, frame, self.cam, self.bf, cfg)
+                if self.relocalizer is not None else None)
             if hit is not None:
                 R, t, cur_obs, n_inl = hit
                 self.track_state = TrackState.OK
@@ -441,6 +445,11 @@ class StereoTracker:
             self.lost_frames += 1
             if self.lost_frames > self.max_lost_frames:
                 self.track_state = TrackState.LOST
+                if self.atlas is not None:
+                    # spawn a fresh map in the Atlas (reference:
+                    # CreateMapInAtlas src/Tracking.cc:2662-2700; small maps
+                    # are dropped like ResetActiveMap :2019-2024)
+                    self._spawn_new_map()
             self._record(ts)
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
@@ -454,12 +463,12 @@ class StereoTracker:
 
         cur_obs, n_m = match_previous(
             self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-            frame, self.cam, self.bf, jnp.float32(7.0), cfg,
+            frame, self.cam, self.bf, jnp.float32(self.match_radius[0]), cfg,
         )
         if int(n_m) < 20:  # widen like the reference (th=2*7)
             cur_obs, n_m = match_previous(
                 self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-                frame, self.cam, self.bf, jnp.float32(14.0), cfg,
+                frame, self.cam, self.bf, jnp.float32(self.match_radius[1]), cfg,
             )
         R1, t1, cur_obs, n_inl = pose_opt_from_obs(
             self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg
@@ -595,9 +604,73 @@ class StereoTracker:
                 self.R = self.state.kf_R[kf_id]
                 self.t = self.state.kf_t[kf_id]
                 self.vel = None
+        # map merge against stored Atlas maps (reference: LoopClosing's merge
+        # branch, src/LoopClosing.cc:120-183)
+        if self.atlas is not None and self.atlas.stored:
+            res = self.atlas.try_merge(self.state, kf_id, self.n_kf, self.n_lm)
+            if res is not None:
+                kf_id = self._adopt_merge(res, kf_id)
         # rebind frame obs to the (possibly fused/culled) keyframe bindings
         self.prev_obs = self.state.kf_obs[kf_id]
         self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))
+
+    # -- Atlas transitions --
+
+    def _spawn_new_map(self):
+        """Stash the active map (if big enough) and restart tracking on a
+        fresh one (reference: Tracking::CreateMapInAtlas)."""
+        hists = (np.asarray(self.loop_closer.db.hist)
+                 if self.loop_closer is not None
+                 else np.zeros((self.cfg.map.max_keyframes, 1), np.float32))
+        self.atlas.stash_active(self.state, self.n_kf, self.n_lm, hists)
+        self.state = ms.empty(self.cfg.map)
+        self.n_kf = 0
+        self.n_lm = 0
+        self.track_state = TrackState.NOT_INITIALIZED
+        self.vel = None
+        self.prev_obs = None
+        self.prev_octave = None
+        self.frames_since_kf = 0
+        self.ref_inliers = 1
+        self.lost_frames = 0
+        self.map_id += 1
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+
+    def _adopt_merge(self, res, kf_id: int):
+        """Continue tracking on the merged map (the stored map's world frame
+        is kept, like the reference's MergeLocal). Returns the new id of the
+        current keyframe."""
+        merged, n_kf, n_lm, kf_off, old_hists = res
+        n_cur = self.n_kf
+        self.state = merged
+        self.n_kf = n_kf
+        self.n_lm = n_lm
+        new_kf = kf_off + kf_id
+        self.R = self.state.kf_R[new_kf]
+        self.t = self.state.kf_t[new_kf]
+        self.vel = None
+        self.map_id += 1
+        if self.loop_closer is not None:
+            self.loop_closer.rebuild_after_merge(old_hists, kf_off, n_cur)
+        # welding: fuse duplicate landmarks across the seam, then a welding
+        # BA over the merged neighborhood (reference: SearchAndFuse +
+        # welding LocalBundleAdjustment, src/LoopClosing.cc:1588-1627)
+        lcfg = self._lm_cfg()
+        C_cur = np.asarray(-self.state.kf_R[new_kf].T @ self.state.kf_t[new_kf])
+        kf_R = np.asarray(self.state.kf_R[:kf_off])
+        kf_t = np.asarray(self.state.kf_t[:kf_off])
+        centers = -np.einsum("kji,kj->ki", kf_R, kf_t)
+        near = np.argsort(np.linalg.norm(centers - C_cur, axis=-1))
+        neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
+        neighbors[: min(lcfg.n_neighbors, kf_off)] = near[: lcfg.n_neighbors]
+        self.state = lm_mod.fuse_duplicates(
+            self.state, jnp.int32(new_kf), jnp.asarray(neighbors), self.cam,
+            lcfg)
+        adj, fixed = self._window_ids()
+        self.state = local_ba(self.state, adj, fixed, self.cam, self.bf,
+                              self.cfg)
+        return new_kf
 
     # -- output --
 
