@@ -420,8 +420,9 @@ class StereoInertialTracker(trk.StereoTracker):
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1
 
-        if self._need_keyframe(frame, cur_obs, n_inl2_i) or (
-                not self.imu_ready and self.frames_since_kf >= 5):
+        need_kf = self._need_keyframe(frame, cur_obs, n_inl2_i) or (
+            not self.imu_ready and self.frames_since_kf >= 5)
+        if need_kf and not self.localization_only:
             self._insert_keyframe_inertial(frame, R2, t2, cur_obs, ts)
         self._record(ts)
         return np.asarray(self.R), np.asarray(self.t), self.track_state

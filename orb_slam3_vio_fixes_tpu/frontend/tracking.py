@@ -357,6 +357,7 @@ class StereoTracker:
         self.max_lost_frames = 20       # reference: time_recently_lost (~1 s)
         self.match_radius = (7.0, 14.0)  # motion-model search th (widened)
         self.map_id = 0                  # active-map ordinal (Atlas)
+        self.localization_only = False   # reference: ActivateLocalizationMode
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
         self.n_kf = 0
@@ -499,7 +500,8 @@ class StereoTracker:
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1
 
-        if self._need_keyframe(frame, cur_obs, n_inl2_i):
+        if not self.localization_only and self._need_keyframe(
+                frame, cur_obs, n_inl2_i):
             self._insert_keyframe(frame, R2, t2, cur_obs)
         self._record(ts)
         return np.asarray(self.R), np.asarray(self.t), self.track_state

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from orb_slam3_vio_fixes_tpu.system import Sensor
+from orb_slam3_vio_fixes_tpu.sensors import Sensor
 from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
 
 

@@ -2,48 +2,229 @@
 
 TPU-native analogue of the reference's System class (reference:
 include/System.h:87-94 sensor enum, src/System.cc:41-242 constructor wiring,
-TrackStereo/TrackRGBD/TrackMonocular at src/System.cc:244-474).
+TrackStereo/TrackRGBD/TrackMonocular :244-474, ActivateLocalizationMode
+:478-488, Reset/ResetActiveMap :494-505, Shutdown :515-562, trajectory
+writers :569-1263, SaveAtlas/LoadAtlas :1408-1511).
 
-The full facade is assembled as the pipeline layers land; this module always
-exposes the public sensor-mode surface so downstream code has one import
-point.
+The reference wires four threads around shared mutable structures; here the
+facade wires host actors around one functional MapState (tracker owns the
+active map, LoopCloser owns the BoW database, Atlas owns stored maps) and
+every compute stage is a jitted kernel.
 """
 
 from __future__ import annotations
 
-import enum
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.frontend import loop_closing as lc_mod
+from orb_slam3_vio_fixes_tpu.frontend import relocalization as rl_mod
+from orb_slam3_vio_fixes_tpu.frontend import tracking as trk
+from orb_slam3_vio_fixes_tpu.frontend.inertial_tracking import (
+    InertialConfig, StereoInertialTracker)
+from orb_slam3_vio_fixes_tpu.frontend.mono_tracking import MonocularTracker
+from orb_slam3_vio_fixes_tpu.imu import preintegration as pre
+from orb_slam3_vio_fixes_tpu.io import trajectory as traj_io
+from orb_slam3_vio_fixes_tpu.io.settings import Settings, load_settings
+from orb_slam3_vio_fixes_tpu.ops import orb
+from orb_slam3_vio_fixes_tpu.slam_map import atlas as atlas_mod
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.slam_map import snapshot
+from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
 
 
-class Sensor(enum.Enum):
-    MONOCULAR = 0
-    STEREO = 1
-    RGBD = 2
-    IMU_MONOCULAR = 3
-    IMU_STEREO = 4
-    IMU_RGBD = 5
-
-    @property
-    def has_imu(self) -> bool:
-        return self in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD)
-
-    @property
-    def is_stereo(self) -> bool:
-        return self in (Sensor.STEREO, Sensor.IMU_STEREO)
-
-    @property
-    def is_rgbd(self) -> bool:
-        return self in (Sensor.RGBD, Sensor.IMU_RGBD)
-
-    @property
-    def is_monocular(self) -> bool:
-        return self in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+from orb_slam3_vio_fixes_tpu.sensors import Sensor  # re-export (public API)
 
 
 class SLAMSystem:
-    """Top-level facade (under construction; see frontend/tracking once built)."""
+    """Top-level facade wiring tracker + loop closing + relocalization +
+    Atlas for a given sensor configuration.
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "SLAMSystem facade lands with the end-to-end tracking slice; "
-            "use the layer modules directly for now."
+    Parameters
+    ----------
+    settings : Settings | str — parsed settings or a YAML path (v1.0 schema).
+    sensor : Sensor
+    vocab : vocabulary.Vocabulary | None — BoW vocabulary; place recognition
+        (loop closing / relocalization / map merging) is disabled without it,
+        mirroring how the reference requires ORBvoc.txt for those subsystems.
+    map_cfg : map_state.MapConfig | None — capacity override.
+    """
+
+    def __init__(self, settings, sensor: Sensor, vocab=None,
+                 map_cfg: Optional[ms.MapConfig] = None,
+                 tracker_cfg: Optional[trk.TrackerConfig] = None):
+        if isinstance(settings, str):
+            settings = load_settings(settings, sensor)
+        self.settings: Settings = settings
+        self.sensor = sensor
+        self.vocab = vocab
+
+        s = settings
+        orb_cfg = orb.ORBConfig(
+            n_features=s.n_features, n_levels=s.n_levels, scale=s.scale_factor,
         )
+        if map_cfg is None:
+            map_cfg = ms.MapConfig(n_levels=s.n_levels, scale=s.scale_factor)
+        cfg = tracker_cfg or trk.TrackerConfig(
+            orb=orb_cfg, map=map_cfg,
+            width=s.new_width or s.width, height=s.new_height or s.height,
+            th_depth_factor=s.th_depth,
+            max_frames_between_kf=int(s.fps),
+        )
+        self.cfg = cfg
+        inv_s2 = trk.octave_inv_sigma2(cfg.orb)
+
+        closer = reloc = atl = None
+        if vocab is not None:
+            closer = lc_mod.LoopCloser(
+                vocab, s.cam1, map_cfg.max_keyframes, inv_s2,
+                lc_mod.LoopConfig(fix_scale=not sensor.is_monocular))
+            reloc = rl_mod.Relocalizer(vocab, lambda: closer.db)
+            atl = atlas_mod.Atlas(
+                map_cfg, vocab, s.cam1, inv_s2,
+                atlas_mod.AtlasConfig(fix_scale=not sensor.is_monocular))
+        self.loop_closer = closer
+        self.relocalizer = reloc
+        self.atlas = atl
+
+        if sensor == Sensor.IMU_STEREO or sensor == Sensor.IMU_RGBD:
+            T_bc = s.T_bc if s.T_bc is not None else np.eye(4, dtype=np.float32)
+            calib = pre.ImuCalib.make(
+                s.noise_gyro, s.noise_acc, s.walk_gyro, s.walk_acc,
+                s.imu_freq, R_bc=jnp.asarray(T_bc[:3, :3]),
+                t_bc=jnp.asarray(T_bc[:3, 3]))
+            self.tracker = StereoInertialTracker(
+                s.cam1, s.bf, calib, cfg, InertialConfig(),
+                loop_closer=closer)
+        elif sensor.is_monocular:
+            if sensor == Sensor.IMU_MONOCULAR:
+                raise NotImplementedError(
+                    "IMU_MONOCULAR lands with the mono-inertial stage")
+            self.tracker = MonocularTracker(
+                s.cam1, cfg, loop_closer=closer, relocalizer=reloc, atlas=atl)
+        else:
+            self.tracker = trk.StereoTracker(
+                s.cam1, s.bf, cfg, loop_closer=closer, relocalizer=reloc,
+                atlas=atl)
+
+        if s.load_file:
+            self.load_atlas(s.load_file)
+
+    # -- per-frame entries (reference: src/System.cc:244-474) --
+
+    def track_stereo(self, img_l, img_r, ts: float, imu=None):
+        if self.sensor == Sensor.IMU_STEREO:
+            return self.tracker.process_stereo_inertial(
+                img_l, img_r, ts, imu if imu is not None else
+                np.zeros((0, 7), np.float32))
+        if self.sensor != Sensor.STEREO:
+            raise ValueError(f"track_stereo called in {self.sensor} mode")
+        return self.tracker.process_stereo(img_l, img_r, ts)
+
+    def track_rgbd(self, img, depth, ts: float, imu=None):
+        if not self.sensor.is_rgbd:
+            raise ValueError(f"track_rgbd called in {self.sensor} mode")
+        return self.tracker.process_rgbd(img, depth, ts)
+
+    def track_monocular(self, img, ts: float, imu=None):
+        if not self.sensor.is_monocular:
+            raise ValueError(f"track_monocular called in {self.sensor} mode")
+        return self.tracker.process_mono(img, ts)
+
+    # -- mode switches / lifecycle (reference: src/System.cc:478-562) --
+
+    def activate_localization_mode(self):
+        """Track against the existing map without growing it (reference:
+        ActivateLocalizationMode pauses LocalMapping)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
+    def reset(self):
+        """Full reset: drop stored maps too (reference: System::Reset)."""
+        if self.atlas is not None:
+            self.atlas.stored = []
+        self.reset_active_map()
+
+    def reset_active_map(self):
+        tr = self.tracker
+        tr.state = ms.empty(self.cfg.map)
+        tr.n_kf = 0
+        tr.n_lm = 0
+        tr.track_state = trk.TrackState.NOT_INITIALIZED
+        tr.vel = None
+        tr.prev_obs = None
+        tr.prev_octave = None
+        tr.frames_since_kf = 0
+        tr.lost_frames = 0
+        if hasattr(tr, "ref_frame"):
+            tr.ref_frame = None
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+
+    def shutdown(self):
+        """No threads to join in the functional design; kept for parity."""
+
+    # -- state queries (reference: include/System.h:176-190) --
+
+    def get_tracking_state(self) -> str:
+        return self.tracker.track_state
+
+    def is_lost(self) -> bool:
+        return self.tracker.track_state in (
+            trk.TrackState.RECENTLY_LOST, trk.TrackState.LOST)
+
+    def get_velocity(self):
+        if hasattr(self.tracker, "body") and self.tracker.body is not None:
+            return np.asarray(self.tracker.body.v)
+        return None
+
+    def n_keyframes(self) -> int:
+        return self.tracker.n_kf
+
+    def n_landmarks(self) -> int:
+        return self.tracker.n_lm
+
+    # -- trajectory export (reference: src/System.cc:569-1263) --
+
+    def save_trajectory_tum(self, path: str):
+        traj_io.save_tum(path, self.tracker.trajectory)
+
+    def save_trajectory_euroc(self, path: str):
+        traj_io.save_euroc(path, self.tracker.trajectory)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_kitti(path, self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        traj_io.save_tum(path, self.tracker.keyframe_trajectory())
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        traj_io.save_euroc(path, self.tracker.keyframe_trajectory())
+
+    # -- atlas snapshots (reference: src/System.cc:1408-1511) --
+
+    def save_atlas(self, path: str):
+        snapshot.save_map(
+            path, self.tracker.state, self.cfg.map,
+            self.tracker.n_kf, self.tracker.n_lm, vocab=self.vocab)
+
+    def load_atlas(self, path: str):
+        state, cfg, n_kf, n_lm, _voc, extra = snapshot.load_map(
+            path, vocab=self.vocab)
+        tr = self.tracker
+        tr.state = state
+        tr.n_kf = n_kf
+        tr.n_lm = n_lm
+        tr.track_state = trk.TrackState.LOST  # must relocalize into the map
+        tr.lost_frames = 0
+        tr.vel = None
+        # rebuild the BoW database over the loaded keyframes (reference:
+        # PostLoad re-adds every KF to the KeyFrameDatabase)
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+            for k in range(n_kf):
+                self.loop_closer.add_keyframe(state, k)
