@@ -127,6 +127,28 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def save(vocab: Vocabulary, path: str) -> None:
+    """Persist as .npz (the reference's ORBvoc.txt text format is a DBoW2
+    artifact; an array container loads in milliseconds, not minutes)."""
+    np.savez_compressed(
+        path,
+        nodes=np.asarray(vocab.nodes),
+        weights=np.asarray(vocab.weights),
+        branching=np.int32(vocab.branching),
+        depth=np.int32(vocab.depth),
+    )
+
+
+def load(path: str) -> Vocabulary:
+    with np.load(path) as z:
+        return Vocabulary(
+            jnp.asarray(z["nodes"]),
+            jnp.asarray(z["weights"]),
+            int(z["branching"]),
+            int(z["depth"]),
+        )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def assign_words(vocab: Vocabulary, descs: jax.Array, valid: jax.Array) -> jax.Array:
     """(N, 8) descriptors -> (N,) leaf word ids (-1 for invalid rows).

@@ -1,0 +1,157 @@
+"""Native runtime tests: queues, Hamming matching, pipeline runner."""
+
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from orb_slam3_vio_fixes_tpu.runtime import (
+    NativeQueue,
+    PipelineRunner,
+    StageTimes,
+    hamming_match,
+    hamming_matrix,
+    native_available,
+)
+
+
+def test_native_library_builds():
+    # the image ships g++, so the native path must be live, not the fallback
+    assert native_available()
+
+
+def test_queue_fifo_and_reject():
+    q = NativeQueue(capacity=3, item_size=8, drop_oldest=False)
+    for i in range(3):
+        assert q.push(struct.pack("<q", i))
+    assert not q.push(struct.pack("<q", 99))  # full → reject (reference KF queue)
+    assert q.size() == 3
+    vals = [struct.unpack("<q", q.pop())[0] for _ in range(3)]
+    assert vals == [0, 1, 2]
+    assert q.pop(timeout_ms=10) is None
+
+
+def test_queue_drop_oldest():
+    q = NativeQueue(capacity=2, item_size=8, drop_oldest=True)
+    for i in range(4):
+        assert q.push(struct.pack("<q", i))
+    assert [struct.unpack("<q", q.pop())[0] for _ in range(2)] == [2, 3]
+
+
+def test_queue_cross_thread():
+    q = NativeQueue(capacity=16, item_size=4)
+    got = []
+
+    def consumer():
+        while True:
+            item = q.pop(timeout_ms=2000)
+            if item is None:
+                return
+            v = struct.unpack("<i", item)[0]
+            if v < 0:
+                return
+            got.append(v)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(50):
+        while not q.push(struct.pack("<i", i)):
+            pass
+    q.push(struct.pack("<i", -1))
+    t.join(timeout=5)
+    assert got == list(range(50))
+
+
+def test_hamming_match_vs_numpy():
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 256, size=(17, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, size=(41, 32), dtype=np.uint8)
+    bi, b1, b2 = hamming_match(q, db)
+    mat = np.unpackbits(q[:, None, :] ^ db[None, :, :], axis=-1).sum(-1)
+    np.testing.assert_array_equal(b1, mat.min(axis=1))
+    np.testing.assert_array_equal(bi, mat.argmin(axis=1))
+    srt = np.sort(mat, axis=1)
+    np.testing.assert_array_equal(b2, srt[:, 1])
+    np.testing.assert_array_equal(hamming_matrix(q, db), mat)
+
+
+def test_hamming_exact_duplicate():
+    db = np.arange(32, dtype=np.uint8)[None, :].repeat(3, 0)
+    db[1] ^= 0xFF
+    bi, b1, _ = hamming_match(db[:1], db)
+    assert bi[0] == 0 and b1[0] == 0
+
+
+def test_stage_times_report(tmp_path):
+    st = StageTimes()
+    for v in (0.01, 0.02, 0.03):
+        st.add("track", v)
+    with st.scope("decode"):
+        pass
+    s = st.summary()
+    assert s["track"]["count"] == 3
+    assert s["track"]["mean_ms"] == pytest.approx(20.0, rel=1e-6)
+    p = tmp_path / "ExecMean.txt"
+    st.save(str(p))
+    text = p.read_text()
+    assert "track" in text and "decode" in text
+
+
+def test_pipeline_runner_synthetic(tmp_path):
+    """Run the stereo tracker through PipelineRunner on a tiny synthetic
+    sequence written to disk — exercises decode prefetch + tracking + timing."""
+    from PIL import Image
+
+    from orb_slam3_vio_fixes_tpu.io import datasets, synthetic
+    from orb_slam3_vio_fixes_tpu.sensors import Sensor
+    from orb_slam3_vio_fixes_tpu.io.settings import Settings
+    from orb_slam3_vio_fixes_tpu import system as sys_mod
+    from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+    from orb_slam3_vio_fixes_tpu.ops import orb as orb_mod
+    from orb_slam3_vio_fixes_tpu.frontend import tracking as trk
+    from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+    rng = np.random.default_rng(7)
+    world = synthetic.make_world(rng, n_points=600, extent=7.0,
+                                 depth_range=(2.5, 9.0))
+    sseq = synthetic.make_stereo_sequence(
+        rng, n_frames=5, h=240, w=352, fx=260.0, baseline=0.2, world=world)
+    n_frames = sseq.imgs_l.shape[0]
+    root = tmp_path / "seq"
+    for cam in ("cam0", "cam1"):
+        (root / "mav0" / cam / "data").mkdir(parents=True)
+    for i in range(n_frames):
+        ts_ns = int(1e9 + i * 5e7)
+        for cam, im in (("cam0", sseq.imgs_l[i]), ("cam1", sseq.imgs_r[i])):
+            Image.fromarray(
+                np.clip(np.asarray(im), 0, 255).astype(np.uint8)
+            ).save(str(root / "mav0" / cam / "data" / f"{ts_ns}.png"))
+    seq = datasets.load_euroc(str(root), with_imu=False)
+    assert len(seq) == n_frames
+
+    cam1 = Camera.pinhole(sseq.K[0, 0], sseq.K[1, 1], sseq.K[0, 2], sseq.K[1, 2])
+    h, w = sseq.imgs_l.shape[1:]
+    settings = Settings(
+        sensor=Sensor.STEREO, camera_type="PinHole", cam1=cam1, cam2=None,
+        width=w, height=h, new_width=None, new_height=None, fps=20.0,
+        rgb=False, bf=sseq.K[0, 0] * sseq.baseline, th_depth=40.0,
+        T_c1_c2=None, n_features=320, n_levels=4,
+    )
+    map_cfg = ms.MapConfig(
+        max_keyframes=8, max_landmarks=2048, max_features=320, n_levels=4,
+    )
+    tracker_cfg = trk.TrackerConfig(
+        orb=orb_mod.ORBConfig(n_features=320, n_levels=4),
+        map=map_cfg, width=w, height=h,
+        max_local_lm=512, ba_window=4, ba_fixed=2, new_lm_budget=128,
+        max_frames_between_kf=6,
+    )
+    slam = sys_mod.SLAMSystem(settings, Sensor.STEREO, map_cfg=map_cfg,
+                              tracker_cfg=tracker_cfg)
+    res = PipelineRunner(slam, seq, prefetch=2).run()
+    assert res.n_frames == n_frames
+    assert len(res.trajectory) == n_frames
+    assert "decode" in res.times.series and "track" in res.times.series
+    # tracked without getting lost on an easy synthetic scene
+    assert slam.get_tracking_state() == trk.TrackState.OK
