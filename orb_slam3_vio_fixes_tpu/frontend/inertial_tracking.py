@@ -323,13 +323,32 @@ class StereoInertialTracker(trk.StereoTracker):
     def process_stereo_inertial(self, img_l, img_r, ts: float, imu_np):
         """imu_np: (n, 7) float32 [acc(3), gyro(3), dt] samples since the
         previous frame."""
-        cfg = self.cfg
-        imu_np = np.asarray(imu_np, np.float32).reshape(-1, 7)
         frame = build_stereo_frame(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.float32(ts), self.cam, self.bf, cfg.orb,
+            jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
+        return self._track_inertial(frame, ts, imu_np)
+
+    def process_rgbd_inertial(self, img, depth, ts: float, imu_np):
+        """IMU_RGBD entry: depth-derived synthetic right coordinates feed the
+        same VI loop (reference treats RGB-D as stereo with
+        ComputeStereoFromRGBD, src/Frame.cc:984)."""
+        from orb_slam3_vio_fixes_tpu.frontend.frame import build_rgbd_frame
+
+        frame = build_rgbd_frame(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
+        )
+        return self._track_inertial(frame, ts, imu_np)
+
+    def _track_inertial(self, frame, ts: float, imu_np):
+        """Shared visual-inertial per-frame loop (stereo and mono variants
+        differ only in frame construction and visual initialization)."""
+        cfg = self.cfg
+        imu_np = np.asarray(imu_np, np.float32).reshape(-1, 7)
         if self.track_state == trk.TrackState.NOT_INITIALIZED:
+            # keep buffering IMU across a (possibly multi-frame) visual init
+            self.kf_imu_buf.extend(list(imu_np))
             ok = self._initialize(frame)
             if ok:
                 self.t_first_kf = ts
@@ -557,3 +576,67 @@ class StereoInertialTracker(trk.StereoTracker):
         self.body = BodyState(
             R_wb_l, p_wb_l, self.state.kf_vel[kf_last],
             self.state.kf_bg[kf_last], self.state.kf_ba[kf_last])
+
+
+class MonoInertialTracker(StereoInertialTracker):
+    """Monocular-inertial SLAM front end (IMU_MONOCULAR sensor mode).
+
+    Reference semantics: the mono-inertial configuration of Tracking — the
+    two-view monocular initialization (src/Tracking.cc:2448-2660) followed by
+    the same 3-stage IMU initialization with a FREE scale vertex
+    (src/Optimizer.cc:3123 keeps scale fixed only for stereo), after which
+    the map is rescaled to metric via ApplyScaledRotation
+    (src/Map.cc:252-284).
+
+    Composition: visual initialization + keyframe rule are borrowed from
+    MonocularTracker; the per-frame VI loop, IMU staging, and inertial window
+    BA come from StereoInertialTracker via `_track_inertial`. Monocular IMU
+    init estimates scale (fix_scale=False) and waits longer than stereo
+    before the first attempt (the reference inserts mono-IMU keyframes
+    aggressively and initializes at ~2 s)."""
+
+    def __init__(self, cam: Camera, calib: pre.ImuCalib,
+                 cfg: trk.TrackerConfig = trk.TrackerConfig(),
+                 icfg: InertialConfig = None, loop_closer=None,
+                 relocalizer=None, atlas=None, init_window: float = 100.0):
+        from orb_slam3_vio_fixes_tpu.frontend.mono_tracking import MonocularTracker
+
+        if icfg is None:
+            icfg = InertialConfig(fix_scale=False, init_min_kfs=6,
+                                  init_min_time=2.0)
+        assert not icfg.fix_scale, "mono-inertial must estimate scale"
+        cfg = cfg._replace(kf_inlier_ratio=0.9)
+        super().__init__(cam, 0.0, calib, cfg, icfg, loop_closer=loop_closer)
+        self.relocalizer = relocalizer
+        self.atlas = atlas
+        self._mono = MonocularTracker  # class handle for borrowed methods
+        self.init_window = init_window
+        self.ref_frame = None
+        self.rng = jax.random.PRNGKey(0)
+        self.match_radius = (15.0, 30.0)
+
+    def process_mono_inertial(self, img, ts: float, imu_np):
+        from orb_slam3_vio_fixes_tpu.frontend.frame import build_mono_frame
+
+        frame = build_mono_frame(
+            jnp.asarray(img, jnp.float32), jnp.float32(ts), self.cfg.orb)
+        return self._track_inertial(frame, ts, imu_np)
+
+    # -- borrowed monocular behavior --
+
+    def _spawn_new_map(self):
+        self._mono._spawn_new_map(self)
+
+    def _need_keyframe(self, frame, cur_obs, n_inliers):
+        return self._mono._need_keyframe(self, frame, cur_obs, n_inliers)
+
+    def _initialize(self, frame):
+        prev_ref = self.ref_frame
+        ok = self._mono._initialize(self, frame)
+        if ok:
+            # IMU window joining the two initial keyframes (buffered since
+            # the reference frame was chosen)
+            self.kf_windows[1] = self._pad_kf_imu(self.kf_imu_buf)
+        elif self.ref_frame is not prev_ref:
+            self.kf_imu_buf = []  # new init reference -> window restarts
+        return ok

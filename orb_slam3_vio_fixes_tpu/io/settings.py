@@ -73,6 +73,72 @@ class Settings:
     # Atlas
     load_file: str = ""
     save_file: str = ""
+    # distortion (radial-tangential [k1,k2,p1,p2,k3]; empty = none)
+    dist1: Optional[np.ndarray] = None
+    dist2: Optional[np.ndarray] = None
+    # precomputed rectification/undistortion (see precompute_rectification)
+    rect: Optional[object] = None
+    undist_map: Optional[np.ndarray] = None
+
+    @property
+    def needs_rectification(self) -> bool:
+        """Distorted stereo pinhole rig → must remap both eyes per frame
+        (reference: Settings::needToRectify, src/Settings.cc:81-96)."""
+        return (
+            self.sensor.is_stereo
+            and self.camera_type == "PinHole"
+            and self.T_c1_c2 is not None
+            and (self.dist1 is not None or self.dist2 is not None)
+        )
+
+    @property
+    def needs_undistortion(self) -> bool:
+        """Distorted mono/RGB-D pinhole → undistort via image remap (the
+        reference instead undistorts keypoints, src/Frame.cc:747; one remap
+        per frame keeps all downstream math in a clean pinhole space)."""
+        return (
+            not self.sensor.is_stereo
+            and self.camera_type == "PinHole"
+            and self.dist1 is not None
+        )
+
+    def precompute_rectification(self) -> None:
+        """Settings::precomputeRectificationMaps analogue
+        (src/Settings.cc:485-528): compute rectify maps, rewrite cam1 + bf
+        from P1, fold R_r1_u1 into T_bc for inertial rigs."""
+        from orb_slam3_vio_fixes_tpu.ops import rectify as rec
+
+        if self.rect is not None or not self.needs_rectification:
+            return
+        K1 = np.asarray(self.cam1.K, np.float64)
+        K2 = np.asarray((self.cam2 if self.cam2 is not None else self.cam1).K, np.float64)
+        d1 = self.dist1 if self.dist1 is not None else np.zeros(5)
+        d2 = self.dist2 if self.dist2 is not None else np.zeros(5)
+        w = self.new_width or self.width
+        h = self.new_height or self.height
+        r = rec.stereo_rectify(K1, d1, K2, d2, (w, h), self.T_c1_c2)
+        self.rect = r
+        self.cam1 = Camera.pinhole(
+            r.P1[0, 0], r.P1[1, 1], r.P1[0, 2], r.P1[1, 2])
+        self.cam2 = None
+        self.bf = r.baseline * r.fx
+        if self.T_bc is not None:
+            T_r1_u1 = np.eye(4)
+            T_r1_u1[:3, :3] = r.R1
+            self.T_bc = self.T_bc @ np.linalg.inv(T_r1_u1)
+
+    def precompute_undistortion(self) -> None:
+        """Build the mono/RGB-D undistortion remap (identity rotation, same
+        K) and mark cam1 as distortion-free afterwards."""
+        from orb_slam3_vio_fixes_tpu.ops import rectify as rec
+
+        if self.undist_map is not None or not self.needs_undistortion:
+            return
+        K = np.asarray(self.cam1.K, np.float64)
+        w = self.new_width or self.width
+        h = self.new_height or self.height
+        self.undist_map = rec.init_undistort_rectify_map(
+            K, self.dist1, np.eye(3), K, (w, h))
 
 
 def _req(d: dict, key: str):
@@ -100,6 +166,14 @@ def _read_camera(d: dict, prefix: str, cam_type: str) -> Camera:
             _req(d, f"{prefix}.k3"), _req(d, f"{prefix}.k4"),
         )
     return Camera.pinhole(fx, fy, cx, cy)
+
+
+def _read_dist(d: dict, prefix: str) -> Optional[np.ndarray]:
+    """Radial-tangential coefficients [k1,k2,p1,p2,k3]; None if all absent
+    (src/Settings.cc reads the same optional keys for PinHole rigs)."""
+    vals = [float(_opt(d, f"{prefix}.{k}", 0.0) or 0.0)
+            for k in ("k1", "k2", "p1", "p2", "k3")]
+    return np.asarray(vals, np.float64) if any(v != 0.0 for v in vals) else None
 
 
 def _read_mat(d: dict, key: str) -> Optional[np.ndarray]:
@@ -148,6 +222,9 @@ def load_settings(path: str, sensor: Sensor) -> Settings:
         fps=float(_opt(d, "Camera.fps", 30.0)),
         rgb=bool(_opt(d, "Camera.RGB", 1)),
         bf=bf,
+        dist1=_read_dist(d, "Camera1") if cam_type == "PinHole" else None,
+        dist2=(_read_dist(d, "Camera2")
+               if cam_type == "PinHole" and cam2 is not None else None),
         th_depth=float(_opt(d, "Stereo.ThDepth", _opt(d, "RGBD.ThDepth", 35.0)) or 35.0),
         T_c1_c2=T_c1_c2,
     )

@@ -61,6 +61,19 @@ class SLAMSystem:
         self.sensor = sensor
         self.vocab = vocab
 
+        # distorted rigs: precompute remaps and rewrite cam1/bf BEFORE the
+        # trackers capture the calibration (reference: Settings ctor calls
+        # precomputeRectificationMaps, src/Settings.cc:107-112)
+        settings.precompute_rectification()
+        settings.precompute_undistortion()
+        self._rect_maps = None
+        self._undist_map = None
+        if settings.rect is not None:
+            self._rect_maps = jnp.asarray(
+                np.stack([settings.rect.map1, settings.rect.map2]))
+        elif settings.undist_map is not None:
+            self._undist_map = jnp.asarray(settings.undist_map)
+
         s = settings
         orb_cfg = orb.ORBConfig(
             n_features=s.n_features, n_levels=s.n_levels, scale=s.scale_factor,
@@ -98,10 +111,19 @@ class SLAMSystem:
             self.tracker = StereoInertialTracker(
                 s.cam1, s.bf, calib, cfg, InertialConfig(),
                 loop_closer=closer)
+        elif sensor == Sensor.IMU_MONOCULAR:
+            from orb_slam3_vio_fixes_tpu.frontend.inertial_tracking import (
+                MonoInertialTracker)
+
+            T_bc = s.T_bc if s.T_bc is not None else np.eye(4, dtype=np.float32)
+            calib = pre.ImuCalib.make(
+                s.noise_gyro, s.noise_acc, s.walk_gyro, s.walk_acc,
+                s.imu_freq, R_bc=jnp.asarray(T_bc[:3, :3]),
+                t_bc=jnp.asarray(T_bc[:3, 3]))
+            self.tracker = MonoInertialTracker(
+                s.cam1, calib, cfg, loop_closer=closer,
+                relocalizer=reloc, atlas=atl)
         elif sensor.is_monocular:
-            if sensor == Sensor.IMU_MONOCULAR:
-                raise NotImplementedError(
-                    "IMU_MONOCULAR lands with the mono-inertial stage")
             self.tracker = MonocularTracker(
                 s.cam1, cfg, loop_closer=closer, relocalizer=reloc, atlas=atl)
         else:
@@ -114,7 +136,30 @@ class SLAMSystem:
 
     # -- per-frame entries (reference: src/System.cc:244-474) --
 
+    def _rectify_pair(self, img_l, img_r):
+        """Per-frame stereo rectification remap, both eyes in one batched
+        gather launch (reference: cv::remap x2 in System::TrackStereo
+        src/System.cc:253-261)."""
+        from orb_slam3_vio_fixes_tpu.ops import rectify as rec
+
+        if self._rect_maps is None:
+            return img_l, img_r
+        il = rec.remap_bilinear(jnp.asarray(img_l, jnp.float32),
+                                self._rect_maps[0])
+        ir = rec.remap_bilinear(jnp.asarray(img_r, jnp.float32),
+                                self._rect_maps[1])
+        return il, ir
+
+    def _undistort(self, img):
+        from orb_slam3_vio_fixes_tpu.ops import rectify as rec
+
+        if self._undist_map is None:
+            return img
+        return rec.remap_bilinear(jnp.asarray(img, jnp.float32),
+                                  self._undist_map)
+
     def track_stereo(self, img_l, img_r, ts: float, imu=None):
+        img_l, img_r = self._rectify_pair(img_l, img_r)
         if self.sensor == Sensor.IMU_STEREO:
             return self.tracker.process_stereo_inertial(
                 img_l, img_r, ts, imu if imu is not None else
@@ -126,11 +171,26 @@ class SLAMSystem:
     def track_rgbd(self, img, depth, ts: float, imu=None):
         if not self.sensor.is_rgbd:
             raise ValueError(f"track_rgbd called in {self.sensor} mode")
+        if self.sensor == Sensor.IMU_RGBD:
+            return self.tracker.process_rgbd_inertial(
+                img, depth, ts,
+                imu if imu is not None else np.zeros((0, 7), np.float32))
+        if self._undist_map is not None:
+            from orb_slam3_vio_fixes_tpu.ops import rectify as rec
+
+            img = self._undistort(img)
+            depth = rec.remap_nearest(jnp.asarray(depth, jnp.float32),
+                                      self._undist_map)
         return self.tracker.process_rgbd(img, depth, ts)
 
     def track_monocular(self, img, ts: float, imu=None):
         if not self.sensor.is_monocular:
             raise ValueError(f"track_monocular called in {self.sensor} mode")
+        img = self._undistort(img)
+        if self.sensor == Sensor.IMU_MONOCULAR:
+            return self.tracker.process_mono_inertial(
+                img, ts,
+                imu if imu is not None else np.zeros((0, 7), np.float32))
         return self.tracker.process_mono(img, ts)
 
     # -- mode switches / lifecycle (reference: src/System.cc:478-562) --
