@@ -17,6 +17,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from orb_slam3_vio_fixes_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def main():
     from __graft_entry__ import entry

@@ -142,6 +142,85 @@ def build_stereo_frame(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def build_fisheye_stereo_frame(
+    img_l: jax.Array,
+    img_r: jax.Array,
+    ts: jax.Array,
+    cam1: Camera,
+    cam2: Camera,
+    R_12: jax.Array,
+    t_12: jax.Array,
+    cfg: orb.ORBConfig,
+) -> FrameData:
+    """Two-camera (Kannala-Brandt8 fisheye) stereo frame.
+
+    Reference semantics: the fisheye-stereo Frame ctor src/Frame.cc:1034-1124
+    + ComputeStereoFishEyeMatches :1126-1166 (brute-force knn with Lowe 0.7
+    ratio, then KannalaBrandt8::TriangulateMatches
+    src/CameraModels/KannalaBrandt8.cpp:306-370: ray triangulation with
+    parallax + positive depth + per-octave chi2 reprojection gates).
+
+    TPU re-design: one dense Hamming matrix over all left x right descriptors
+    (the lapping-area restriction becomes unnecessary — the ratio + geometric
+    gates subsume it), batched DLT triangulation of all matches at once.
+    `T_c1_c2 = (R_12, t_12)` maps camera-2 coords into camera-1 coords.
+    The triangulated z in the left camera fills `depth`; `ur` stays -1, so
+    downstream pose optimization uses mono reprojection residuals (matching
+    the reference, where fisheye keypoints carry no rectified right-u) while
+    landmark spawning gets metric depth.
+    """
+    from orb_slam3_vio_fixes_tpu.ops import triangulate as tri
+    from orb_slam3_vio_fixes_tpu.utils.cameras import project, unproject
+
+    fl, fr = orb.extract_pair(img_l, img_r, cfg)
+    m = matching.match_descriptors(
+        fl.desc, fl.valid, fr.desc, fr.valid,
+        ratio=0.7, max_dist=matching.TH_HIGH, mutual=True,
+    )
+    has = m.idx >= 0
+    ridx = jnp.clip(m.idx, 0, fr.uv.shape[0] - 1)
+    uv2 = fr.uv[ridx]
+    oct2 = fr.octave[ridx]
+    ray1 = unproject(cam1, fl.uv)
+    ray2 = unproject(cam2, uv2)
+    R_21 = R_12.T
+    t_21 = -R_12.T @ t_12
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), ray1.shape[:1] + (3, 3))
+    zero = jnp.zeros_like(ray1)
+    Xc1 = tri.triangulate_midpoint(
+        eye, zero,
+        jnp.broadcast_to(R_21, eye.shape), jnp.broadcast_to(t_21, zero.shape),
+        ray1, ray2,
+    )
+    Xc2 = Xc1 @ R_21.T + t_21
+    # parallax between rays (reference rejects cosParallax >= 0.9998)
+    r1n = ray1 / jnp.linalg.norm(ray1, axis=-1, keepdims=True)
+    r2w = ray2 @ R_12[:3, :3].T  # right ray expressed in cam1 frame
+    r2n = r2w / jnp.linalg.norm(r2w, axis=-1, keepdims=True)
+    cos_par = jnp.sum(r1n * r2n, axis=-1)
+    sf = image_ops.scale_factors(cfg.n_levels, cfg.scale)
+    sigma2 = sf * sf
+    s21 = sigma2[jnp.clip(fl.octave, 0, cfg.n_levels - 1)]
+    s22 = sigma2[jnp.clip(oct2, 0, cfg.n_levels - 1)]
+    e1 = project(cam1, Xc1) - fl.uv
+    e2 = project(cam2, Xc2) - uv2
+    ok = (
+        has & fl.valid
+        & (Xc1[..., 2] > 0.01) & (Xc2[..., 2] > 0.01)
+        & (cos_par < 0.9998)
+        & (jnp.sum(e1 * e1, -1) / s21 < 5.991)
+        & (jnp.sum(e2 * e2, -1) / s22 < 5.991)
+    )
+    depth = jnp.where(ok, Xc1[..., 2], -1.0)
+    n = fl.uv.shape[0]
+    return FrameData(
+        uv=fl.uv, ur=jnp.full(n, -1.0, jnp.float32), depth=depth,
+        octave=fl.octave, angle=fl.angle, desc=fl.desc, valid=fl.valid,
+        ts=ts,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def build_mono_frame(
     img: jax.Array, ts: jax.Array, cfg: orb.ORBConfig
 ) -> FrameData:

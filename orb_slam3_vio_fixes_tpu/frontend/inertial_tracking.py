@@ -290,8 +290,9 @@ class StereoInertialTracker(trk.StereoTracker):
 
     def __init__(self, cam: Camera, bf: float, calib: pre.ImuCalib,
                  cfg: trk.TrackerConfig = trk.TrackerConfig(),
-                 icfg: InertialConfig = InertialConfig(), loop_closer=None):
-        super().__init__(cam, bf, cfg, loop_closer=loop_closer)
+                 icfg: InertialConfig = InertialConfig(), loop_closer=None,
+                 rig=None):
+        super().__init__(cam, bf, cfg, loop_closer=loop_closer, rig=rig)
         self.calib = calib
         self.icfg = icfg
         self.imu_ready = False
@@ -323,11 +324,8 @@ class StereoInertialTracker(trk.StereoTracker):
     def process_stereo_inertial(self, img_l, img_r, ts: float, imu_np):
         """imu_np: (n, 7) float32 [acc(3), gyro(3), dt] samples since the
         previous frame."""
-        frame = build_stereo_frame(
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
-        )
-        return self._track_inertial(frame, ts, imu_np)
+        return self._track_inertial(
+            self._build_stereo(img_l, img_r, ts), ts, imu_np)
 
     def process_rgbd_inertial(self, img, depth, ts: float, imu_np):
         """IMU_RGBD entry: depth-derived synthetic right coordinates feed the

@@ -346,10 +346,15 @@ class StereoTracker:
     """
 
     def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig(),
-                 loop_closer=None, relocalizer=None, atlas=None):
+                 loop_closer=None, relocalizer=None, atlas=None, rig=None):
         self.cam = cam
         self.bf = jnp.float32(bf)
         self.cfg = cfg
+        # two-camera (fisheye) rig: (cam2, R_12, t_12) with T_c1_c2 mapping
+        # camera-2 coords into camera-1 coords; None = rectified single-model
+        # stereo (reference: the two GeometricCamera* + Tlr fisheye Frame
+        # ctor, src/Frame.cc:1034)
+        self.rig = rig
         self.loop_closer = loop_closer  # optional frontend.loop_closing.LoopCloser
         self.relocalizer = relocalizer  # optional frontend.relocalization.Relocalizer
         self.atlas = atlas              # optional slam_map.atlas.Atlas
@@ -400,12 +405,26 @@ class StereoTracker:
             ids[i] = self.n_kf - 1 - i
         return jnp.asarray(ids)
 
-    def process_stereo(self, img_l, img_r, ts: float):
-        frame = build_stereo_frame(
+    def _build_stereo(self, img_l, img_r, ts: float):
+        """Stereo frame construction: rectified row matching, or two-camera
+        ray triangulation when a fisheye rig is present."""
+        if self.rig is not None:
+            from orb_slam3_vio_fixes_tpu.frontend.frame import (
+                build_fisheye_stereo_frame)
+
+            cam2, R_12, t_12 = self.rig
+            return build_fisheye_stereo_frame(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                jnp.float32(ts), self.cam, cam2, R_12, t_12, self.cfg.orb,
+            )
+        return build_stereo_frame(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
             jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
-        return self.process_frame(frame, ts)
+
+    def process_stereo(self, img_l, img_r, ts: float):
+        return self.process_frame(self._build_stereo(img_l, img_r, ts), ts)
 
     def process_rgbd(self, img, depth, ts: float):
         """RGB-D entry (reference: System::TrackRGBD src/System.cc:328 +

@@ -51,7 +51,7 @@ def make_world(rng, n_points=600, extent=12.0, depth_range=(4.0, 18.0)) -> Synth
 
 def render(world: SyntheticWorld, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
            h: int, w: int, background: float = 60.0,
-           return_depth: bool = False):
+           return_depth: bool = False, project_fn=None):
     """Render textured square sprites with painter's order (far first).
 
     Texture lookup is bilinear at float coordinates anchored to the sprite's
@@ -66,11 +66,18 @@ def render(world: SyntheticWorld, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndar
     vis = z > 0.3
     order = np.argsort(-z)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    if project_fn is not None:
+        # non-pinhole model (e.g. KB8 fisheye): batched projection of all
+        # sprite centers; sprite extent keeps the pinhole fx/z approximation
+        uv_all = np.asarray(project_fn(Xc), np.float32)
+    else:
+        zs = np.maximum(z, 1e-6)
+        uv_all = np.stack(
+            [fx * Xc[:, 0] / zs + cx, fy * Xc[:, 1] / zs + cy], axis=1)
     for i in order:
         if not vis[i]:
             continue
-        u = fx * Xc[i, 0] / z[i] + cx
-        v = fy * Xc[i, 1] / z[i] + cy
+        u, v = uv_all[i]
         half = world.sprite_size[i] * fx / z[i]
         if half < 2.0:
             half = 2.0

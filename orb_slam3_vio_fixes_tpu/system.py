@@ -102,6 +102,18 @@ class SLAMSystem:
         self.relocalizer = reloc
         self.atlas = atl
 
+        # two-camera fisheye rig (KannalaBrandt8 stereo): keep both camera
+        # models + T_c1_c2; bf := baseline * fx for depth thresholds
+        # (reference: Settings::readCamera2 keeps Tlr and computes mBf,
+        # src/Settings.cc:290-360)
+        rig = None
+        if (sensor.is_stereo and s.camera_type == "KannalaBrandt8"
+                and s.cam2 is not None and s.T_c1_c2 is not None):
+            T = np.asarray(s.T_c1_c2, np.float32)
+            rig = (s.cam2, jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
+            if not s.bf:
+                s.bf = float(np.linalg.norm(T[:3, 3])) * float(s.cam1.fx)
+
         if sensor == Sensor.IMU_STEREO or sensor == Sensor.IMU_RGBD:
             T_bc = s.T_bc if s.T_bc is not None else np.eye(4, dtype=np.float32)
             calib = pre.ImuCalib.make(
@@ -110,7 +122,7 @@ class SLAMSystem:
                 t_bc=jnp.asarray(T_bc[:3, 3]))
             self.tracker = StereoInertialTracker(
                 s.cam1, s.bf, calib, cfg, InertialConfig(),
-                loop_closer=closer)
+                loop_closer=closer, rig=rig)
         elif sensor == Sensor.IMU_MONOCULAR:
             from orb_slam3_vio_fixes_tpu.frontend.inertial_tracking import (
                 MonoInertialTracker)
@@ -129,7 +141,7 @@ class SLAMSystem:
         else:
             self.tracker = trk.StereoTracker(
                 s.cam1, s.bf, cfg, loop_closer=closer, relocalizer=reloc,
-                atlas=atl)
+                atlas=atl, rig=rig)
 
         if s.load_file:
             self.load_atlas(s.load_file)

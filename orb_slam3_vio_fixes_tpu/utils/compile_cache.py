@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache setup.
+
+The tracking pipeline is one large jitted program (~minutes of first-compile
+on a TPU backend). A persistent on-disk cache makes every process after the
+first start in seconds — the TPU analogue of the reference shipping
+precompiled binaries. Call `enable()` before the first jit compilation
+(bench.py, __graft_entry__, example apps, scripts).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable(cache_dir: str | None = None) -> None:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "ORB_TPU_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only fs: compilation still works, just uncached

@@ -7,6 +7,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
+from orb_slam3_vio_fixes_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 from orb_slam3_vio_fixes_tpu.evaluation import ate
 from orb_slam3_vio_fixes_tpu.frontend import tracking, frame as frame_mod
 from orb_slam3_vio_fixes_tpu.io import synthetic

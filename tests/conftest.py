@@ -21,6 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated; repeat runs
+# of unchanged kernels load from disk instead of recompiling
+from orb_slam3_vio_fixes_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
