@@ -36,11 +36,19 @@ ARC = 9  # contiguous arc length for FAST-9
 
 
 def fast_score(img: jax.Array) -> jax.Array:
-    """Dense FAST-9/16 score image. img: (H, W) float32. Returns (H, W) score
-    (0 where not a corner at any threshold; border pixels are 0)."""
+    """Dense FAST-9/16 score image. img: (H, W) float32 with INTEGER-valued
+    intensities (uint8 range). Returns (H, W) score (0 where not a corner at
+    any threshold; border pixels are 0).
+
+    Ring differences are computed in bfloat16 — exact for integer intensities
+    |d| <= 255 (bf16 represents integers up to 256 exactly) and half the HBM
+    traffic of float32, which is what bounds this dense pass."""
     h, w = img.shape
-    pad = jnp.pad(img, BORDER, mode="edge")
-    center = img
+    # round to integer intensities first (the reference's pyramid is uint8,
+    # src/ORBextractor.cc:1170-1195) — makes the bf16 math below exact
+    x = jnp.round(img).astype(jnp.bfloat16)
+    pad = jnp.pad(x, BORDER, mode="edge")
+    center = x
     # ring: (16, H, W) neighbor intensities
     ring = jnp.stack(
         [pad[BORDER + dy : BORDER + dy + h, BORDER + dx : BORDER + dx + w] for dy, dx in CIRCLE]
@@ -58,7 +66,7 @@ def fast_score(img: jax.Array) -> jax.Array:
         return jnp.max(m, axis=0)
 
     score = jnp.maximum(arc_score(d_bright), arc_score(d_dark))
-    score = jnp.maximum(score, 0.0)
+    score = jnp.maximum(score, 0.0).astype(jnp.float32)
     # Zero the border (reference restricts detection to the inner region).
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
@@ -136,3 +144,73 @@ def detect(
     final_score = jnp.where(selected, sc, 0.0).reshape(-1)
     score_top, idx = jax.lax.top_k(final_score, budget)
     return idx.astype(jnp.int32), score_top, score_top > 0.0
+
+
+@functools.lru_cache(maxsize=None)
+def _atlas_interior_mask(layout, border: int):
+    """Static bool mask of detectable pixels: per-level interior shrunk by
+    `border` (reference: ComputeKeyPointsOctTree restricts detection to
+    minBorder = EDGE_THRESHOLD-3 = 16 px, src/ORBextractor.cc:788-793 — the
+    margin also keeps orientation/BRIEF patch gathers inside the level's own
+    atlas rows)."""
+    import numpy as np
+
+    m = np.zeros((layout.total_h, layout.width), bool)
+    for off, lh, lw in zip(layout.offsets, layout.heights, layout.widths):
+        if lh > 2 * border and lw > 2 * border:
+            m[off + border : off + lh - border, border : lw - border] = True
+    return m
+
+
+def detect_atlas(
+    atlas: jax.Array,
+    layout,
+    budgets: tuple,
+    threshold: float = 20.0,
+    threshold_min: float = 7.0,
+    cell: int = 35,
+    max_per_cell: int = 4,
+    border: int = 16,
+):
+    """FAST keypoints over a pyramid atlas: ONE dense score/NMS/pool pass for
+    all levels, then a per-level top-k to each level's budget.
+
+    Returns (ay, ax, score, valid, octave), each (sum(budgets),), with ay/ax
+    in ATLAS coordinates (row offsets included) so patch gathers can read the
+    canvas directly.
+    """
+    s = fast_score(atlas)
+    s = jnp.where(jnp.asarray(_atlas_interior_mask(layout, border)), s, 0.0)
+    keep = nms3(s)
+    strong = s > threshold
+    weak = s > threshold_min
+    cell_has_strong = _cell_pool_max(jnp.where(strong, 1.0, 0.0), cell) > 0.5
+    admissible = keep & jnp.where(cell_has_strong, strong, weak)
+    sc = jnp.where(admissible, s, 0.0)
+
+    sc_work = sc
+    selected = jnp.zeros_like(sc, dtype=bool)
+    for _ in range(max_per_cell):
+        cmax = _cell_pool_max(sc_work, cell)
+        is_cell_best = (sc_work >= cmax) & (sc_work > 0.0)
+        selected = selected | is_cell_best
+        sc_work = jnp.where(is_cell_best, 0.0, sc_work)
+    final = jnp.where(selected, sc, 0.0)
+
+    ays, axs, scores, octaves = [], [], [], []
+    for lvl, (off, lh, lw, budget) in enumerate(
+        zip(layout.offsets, layout.heights, layout.widths, budgets)
+    ):
+        if budget == 0:
+            continue
+        region = final[off : off + lh, :lw].reshape(-1)
+        sc_top, idx = jax.lax.top_k(region, budget)
+        ays.append((idx // lw).astype(jnp.int32) + off)
+        axs.append((idx % lw).astype(jnp.int32))
+        scores.append(sc_top)
+        octaves.append(jnp.full((budget,), lvl, jnp.int32))
+    ay = jnp.concatenate(ays)
+    ax = jnp.concatenate(axs)
+    score = jnp.concatenate(scores)
+    octave = jnp.concatenate(octaves)
+    return ay, ax, score, score > 0.0, octave

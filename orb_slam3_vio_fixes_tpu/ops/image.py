@@ -72,3 +72,53 @@ def build_pyramid(
 
 def scale_factors(n_levels: int = 8, scale: float = 1.2) -> jnp.ndarray:
     return jnp.asarray([scale**i for i in range(n_levels)], jnp.float32)
+
+
+class AtlasLayout(tuple):
+    """Static pyramid-atlas layout: all levels stacked vertically in one
+    canvas so every dense op (FAST score, NMS, blur, cell pooling) runs ONCE
+    over the whole pyramid instead of once per level — the TPU answer to the
+    reference's per-level OpenCV calls (src/ORBextractor.cc:1086-1168), which
+    as 8 small launches x ~40 ops leave the VPU idle between ops.
+
+    Fields are python ints/tuples (trace-time constants).
+    """
+
+    __slots__ = ()
+
+    def __new__(cls, offsets, heights, widths, total_h, width):
+        return tuple.__new__(cls, (offsets, heights, widths, total_h, width))
+
+    offsets = property(lambda s: s[0])   # per-level row offset in the canvas
+    heights = property(lambda s: s[1])
+    widths = property(lambda s: s[2])
+    total_h = property(lambda s: s[3])
+    width = property(lambda s: s[4])
+
+
+@functools.lru_cache(maxsize=None)
+def atlas_layout(h: int, w: int, n_levels: int, scale: float,
+                 align: int = 35, gap: int = 8) -> AtlasLayout:
+    """Row offsets aligned to the FAST cell size so a 35-px cell never spans
+    two levels; `gap` blank rows isolate NMS/blur across level boundaries."""
+    shapes = pyramid_shapes(h, w, n_levels, scale)
+    offs, hs, ws = [], [], []
+    y = 0
+    for lh, lw in shapes:
+        offs.append(y)
+        hs.append(lh)
+        ws.append(lw)
+        y = ((y + lh + gap + align - 1) // align) * align
+    return AtlasLayout(tuple(offs), tuple(hs), tuple(ws), y, w)
+
+
+def build_pyramid_atlas(img: jax.Array, n_levels: int, scale: float,
+                        layout: AtlasLayout) -> jax.Array:
+    """(total_h, W) canvas with each pyramid level pasted at its offset
+    (zeros elsewhere). Levels are the same successive resizes as
+    build_pyramid."""
+    levels = build_pyramid(img, n_levels, scale)
+    canvas = jnp.zeros((layout.total_h, layout.width), img.dtype)
+    for lv, off, lh, lw in zip(levels, layout.offsets, layout.heights, layout.widths):
+        canvas = canvas.at[off : off + lh, :lw].set(lv)
+    return canvas

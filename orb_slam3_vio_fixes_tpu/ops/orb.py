@@ -117,17 +117,77 @@ def _gather_patches(img: jax.Array, yx: jax.Array) -> jax.Array:
     return jax.vmap(one)(yx)  # top-left corner = center in padded coords
 
 
+@functools.lru_cache(maxsize=None)
+def _moment_matrix() -> np.ndarray:
+    """(PATCH*PATCH, 2) coordinate-moment weights over the central 31x31
+    circular region of a PATCH x PATCH patch: column 0 = dy (for m01),
+    column 1 = dx (for m10)."""
+    mask = np.zeros((PATCH, PATCH), np.float32)
+    c0 = PATCH_R - HALF_PATCH
+    mask[c0 : c0 + 2 * HALF_PATCH + 1, c0 : c0 + 2 * HALF_PATCH + 1] = _circular_mask()
+    coords = np.arange(-PATCH_R, PATCH_R + 1, dtype=np.float32)
+    ky = (mask * coords[:, None]).reshape(-1)
+    kx = (mask * coords[None, :]).reshape(-1)
+    return np.stack([ky, kx], axis=1)
+
+
 def _orientation(patches: jax.Array) -> jax.Array:
     """Intensity-centroid angle from the central 31x31 circular region of
-    (K, PATCH, PATCH) patches (reference semantics: IC_Angle)."""
-    c0 = PATCH_R - HALF_PATCH
-    c1 = PATCH_R + HALF_PATCH + 1
-    sub = patches[:, c0:c1, c0:c1]
-    mask = jnp.asarray(_circular_mask())
-    coords = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
-    m01 = jnp.einsum("kyx,y->k", sub * mask, coords)
-    m10 = jnp.einsum("kyx,x->k", sub * mask, coords)
-    return jnp.arctan2(m01, m10)
+    (K, PATCH, PATCH) patches as one (K, P) x (P, 2) MXU matmul
+    (reference semantics: IC_Angle, src/ORBextractor.cc:77-105)."""
+    M = jnp.asarray(_moment_matrix(), jnp.bfloat16)
+    flat = patches.reshape(patches.shape[0], -1).astype(jnp.bfloat16)
+    m = jnp.dot(flat, M, preferred_element_type=jnp.float32)  # (K, 2)
+    return jnp.arctan2(m[:, 0], m[:, 1])
+
+
+N_ANGLE_BINS = 64  # steered-BRIEF rotation quantization (5.6 deg/bin ->
+# max offset error ~0.74 px at radius 15, the same order as the reference's
+# per-keypoint integer rounding of rotated offsets)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_diff_matrix(n_bins: int = N_ANGLE_BINS) -> np.ndarray:
+    """(PATCH*PATCH, n_bins*256) float32 with +1 at the first sample of each
+    rotated BRIEF pair and -1 at the second: descriptor bits are then the
+    SIGNS of one (K, P) x (P, bins*256) matmul — MXU work instead of a
+    per-keypoint 512-sample gather."""
+    pat = brief_pattern().astype(np.float64)  # (256, 4)
+    W = np.zeros((n_bins, PATCH * PATCH, 256), np.float32)
+    for b in range(n_bins):
+        a = (b + 0.5) / n_bins * 2.0 * np.pi - np.pi
+        ca, sa = np.cos(a), np.sin(a)
+        for s in range(256):
+            x1, y1, x2, y2 = pat[s]
+            rx1 = int(round(ca * x1 - sa * y1)) + PATCH_R
+            ry1 = int(round(sa * x1 + ca * y1)) + PATCH_R
+            rx2 = int(round(ca * x2 - sa * y2)) + PATCH_R
+            ry2 = int(round(sa * x2 + ca * y2)) + PATCH_R
+            W[b, ry1 * PATCH + rx1, s] += 1.0
+            W[b, ry2 * PATCH + rx2, s] -= 1.0
+    return W.transpose(1, 0, 2).reshape(PATCH * PATCH, n_bins * 256)
+
+
+def _describe_mm(patches: jax.Array, angle: jax.Array) -> jax.Array:
+    """Steered BRIEF as one matmul: patches (K, PATCH, PATCH) from the
+    blurred image, angle (K,). Computes all rotation bins' pair differences
+    on the MXU and selects each keypoint's bin; bit = sign of difference
+    (reference semantics: computeOrbDescriptor src/ORBextractor.cc:107-148,
+    with the continuous rotation quantized to N_ANGLE_BINS)."""
+    n_bins = N_ANGLE_BINS
+    K = patches.shape[0]
+    Wd = jnp.asarray(_brief_diff_matrix(n_bins), jnp.bfloat16)
+    flat = patches.reshape(K, -1).astype(jnp.bfloat16)
+    d = jnp.dot(flat, Wd, preferred_element_type=jnp.float32)
+    d = d.reshape(K, n_bins, 256)
+    bin_idx = jnp.floor(
+        (angle + jnp.pi) / (2.0 * jnp.pi) * n_bins).astype(jnp.int32) % n_bins
+    oh = jax.nn.one_hot(bin_idx, n_bins, dtype=jnp.float32)
+    dsel = jnp.einsum("kbs,kb->ks", d, oh)
+    bits = (dsel < 0).astype(jnp.uint32)  # i1 < i2, matching _describe
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
+    return words.astype(jnp.uint32)
 
 
 def _describe(patches: jax.Array, angle: jax.Array) -> jax.Array:
@@ -158,47 +218,48 @@ def _describe(patches: jax.Array, angle: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "h", "w"))
 def _extract_impl(img: jax.Array, cfg: ORBConfig, h: int, w: int) -> Features:
-    levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale)
-    budgets = features_per_level(cfg)
-    scales = [cfg.scale**i for i in range(cfg.n_levels)]
-
-    uv_all, resp_all, oct_all, ang_all, desc_all, valid_all = [], [], [], [], [], []
-    for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
-        if budget == 0:
-            continue
-        lh, lw = lv_img.shape
-        idx, score, valid = fast_ops.detect(
-            lv_img,
-            threshold=cfg.fast_threshold,
-            threshold_min=cfg.fast_threshold_min,
-            cell=cfg.cell,
-            max_per_cell=cfg.max_per_cell,
-            budget=budget,
-        )
-        ys = (idx // lw).astype(jnp.int32)
-        xs = (idx % lw).astype(jnp.int32)
-        yx = jnp.stack([ys, xs], axis=-1)
-        raw_patches = _gather_patches(lv_img, yx)
-        angle = _orientation(raw_patches)
-        blurred = image_ops.gaussian_blur(lv_img)
-        blur_patches = _gather_patches(blurred, yx)
-        desc = _describe(blur_patches, angle)
-        s = scales[lvl]
-        uv = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
-        uv_all.append(uv)
-        resp_all.append(score)
-        oct_all.append(jnp.full((budget,), lvl, jnp.int32))
-        ang_all.append(angle)
-        desc_all.append(desc)
-        valid_all.append(valid)
-
+    """Atlas extraction: all pyramid levels live in ONE canvas so FAST
+    score/NMS/cell-pooling/blur each run once over the whole pyramid, the
+    patch gathers read one padded image, and orientation + BRIEF batch over
+    every keypoint of every level together. ~4x fewer, ~8x larger XLA ops
+    than a per-level loop (reference: per-level OpenCV calls in
+    src/ORBextractor.cc:1086-1168)."""
+    layout = image_ops.atlas_layout(h, w, cfg.n_levels, cfg.scale,
+                                    align=cfg.cell)
+    atlas = image_ops.build_pyramid_atlas(img, cfg.n_levels, cfg.scale, layout)
+    budgets = tuple(features_per_level(cfg))
+    ay, ax, score, valid, octave = fast_ops.detect_atlas(
+        atlas, layout, budgets,
+        threshold=cfg.fast_threshold,
+        threshold_min=cfg.fast_threshold_min,
+        cell=cfg.cell,
+        max_per_cell=cfg.max_per_cell,
+    )
+    # One patch gather from the blurred atlas serves both orientation and
+    # description. The reference computes IC_Angle on the UNBLURRED image
+    # (src/ORBextractor.cc:1112) — using the blurred patch instead saves a
+    # second 45x45 gather; the intensity centroid of a low-passed patch is
+    # the same direction up to noise, and all consumers of the angle
+    # (steered BRIEF, rotation-consistency histograms) only need
+    # self-consistency across frames.
+    blurred = image_ops.gaussian_blur(atlas)
+    blur_patches = _gather_patches(blurred, jnp.stack([ay, ax], axis=-1))
+    angle = _orientation(blur_patches)
+    desc = _describe_mm(blur_patches, angle)
+    # level-0 coords: (x, y - level_offset) * scale^level, with per-keypoint
+    # constants from the static budgets layout
+    used = [lvl for lvl, b in enumerate(budgets) if b > 0]
+    off_kp = jnp.asarray(np.repeat(
+        [layout.offsets[lvl] for lvl in used],
+        [budgets[lvl] for lvl in used]).astype(np.float32))
+    s_kp = jnp.asarray(np.repeat(
+        [cfg.scale**lvl for lvl in used],
+        [budgets[lvl] for lvl in used]).astype(np.float32))
+    uv = jnp.stack([ax.astype(jnp.float32) * s_kp,
+                    (ay.astype(jnp.float32) - off_kp) * s_kp], axis=-1)
     return Features(
-        uv=jnp.concatenate(uv_all),
-        response=jnp.concatenate(resp_all),
-        octave=jnp.concatenate(oct_all),
-        angle=jnp.concatenate(ang_all),
-        desc=jnp.concatenate(desc_all),
-        valid=jnp.concatenate(valid_all),
+        uv=uv, response=score, octave=octave, angle=angle, desc=desc,
+        valid=valid,
     )
 
 
