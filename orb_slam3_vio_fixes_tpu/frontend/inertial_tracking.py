@@ -21,6 +21,8 @@ visual kernels are reused unchanged, and three inertial kernels are added —
 
 from __future__ import annotations
 
+import os
+
 import functools
 from typing import NamedTuple, Optional
 
@@ -303,6 +305,11 @@ class StereoInertialTracker(trk.StereoTracker):
         self.t_first_kf = None
         self.n_vi_ba = 0
         self.velocity_log = []
+        # monocular scale refinement (reference staggers at 25/35/..s; we
+        # refine on the first keyframes after init — see _scale_refinement)
+        self.n_scale_refines = 0
+        self.max_scale_refines = 4
+        self.kfs_since_init = 0
 
     # -- helpers --
 
@@ -462,6 +469,7 @@ class StereoInertialTracker(trk.StereoTracker):
                     and ts - self.t_first_kf >= self.icfg.init_min_time):
                 self._initialize_imu()
         else:
+            self.kfs_since_init += 1
             self._run_inertial_ba(kf_id)
             # re-base the tracker on the refined keyframe state
             self.R = self.state.kf_R[kf_id]
@@ -473,6 +481,109 @@ class StereoInertialTracker(trk.StereoTracker):
                 R_wb, p_wb, self.state.kf_vel[kf_id],
                 self.state.kf_bg[kf_id], self.state.kf_ba[kf_id])
             self.prior_H = jnp.eye(15) * 1e2   # weak prior after re-base
+
+    def _merged_init_pairs(self, K: int, min_dt: float = 0.2):
+        """Keyframe pairs for inertial initialization, merged to span at
+        least `min_dt` of IMU data each.
+
+        Consecutive keyframes can be only tens of ms apart; with visually
+        noisy poses the position preintegration equation s*(p_j - p_i) ~ dP
+        then suffers errors-in-variables attenuation — the estimated scale
+        biases hard toward zero. Longer baselines restore the SNR. The
+        reference gets the same effect from its pre-init keyframe cadence
+        (one per 0.25 s, src/Tracking.cc:3068-3073) and 2 s minimum init
+        window (src/LocalMapping.cc:1178-1211).
+
+        Returns (nodes, windows (maxP, 2*S, 7), idx_i, idx_j, valid).
+        """
+        kf_ts = np.asarray(self.state.kf_ts[:K])
+        nodes = [0]
+        for k in range(1, K):
+            if kf_ts[k] - kf_ts[nodes[-1]] >= min_dt or k == K - 1:
+                nodes.append(k)
+        S2 = 2 * self.icfg.kf_samples
+        maxP = self.cfg.map.max_keyframes - 1
+        wins = np.zeros((maxP, S2, 7), np.float32)
+        idx_i = np.zeros(maxP, np.int32)
+        idx_j = np.zeros(maxP, np.int32)
+        valid = np.zeros(maxP, bool)
+        for n in range(len(nodes) - 1):
+            i, j = nodes[n], nodes[n + 1]
+            rows = []
+            for m in range(i + 1, j + 1):
+                w = np.asarray(self.kf_windows.get(m, np.zeros((0, 7), np.float32)))
+                if len(w):
+                    rows.append(w[w[:, 6] > 0])
+            cat = (np.concatenate(rows) if rows
+                   else np.zeros((0, 7), np.float32))
+            ns = min(len(cat), S2)
+            wins[n, :ns] = cat[:ns]
+            idx_i[n], idx_j[n] = i, j
+            valid[n] = ns > 0
+        return nodes, wins, idx_i, idx_j, valid
+
+    def _scale_refinement(self):
+        """Monocular scale & gravity refinement over the whole keyframe chain
+        (reference: LocalMapping::ScaleRefinement src/LocalMapping.cc:
+        1429-1496 + the scale/gravity-only InertialOptimization overload
+        src/Optimizer.cc:3397 — velocities and biases FIXED, poses fixed,
+        only Rwg and s free; applied with ApplyScaledRotation).
+
+        Run repeatedly on new keyframes after IMU init: a monocular map whose
+        first inertial init converged to a wrong scale basin (short baseline,
+        low excitation) gets pulled to metric as more preintegration
+        constraints accumulate — the reference staggers this at 25/35/... s
+        of map lifetime; with short synthetic sequences every keyframe is
+        cheap enough."""
+        K = self.n_kf
+        if K < 3:
+            return
+        # pad to map capacity: one compile for the whole run instead of one
+        # per keyframe count
+        maxK = self.cfg.map.max_keyframes
+        R_cb = self.calib.R_bc.T
+        t_cb = -self.calib.R_bc.T @ self.calib.t_bc
+        R_wb, p_wb = body_from_cam(self.state.kf_R, self.state.kf_t,
+                                   R_cb, t_cb)
+        bg = self.state.kf_bg[K - 1]
+        ba = self.state.kf_ba[K - 1]
+        nodes, wins, idx_i, idx_j, pvalid = self._merged_init_pairs(
+            K, min_dt=0.4)
+        pres = jax.vmap(lambda w: pre.integrate(jnp.asarray(w), bg, ba,
+                                                self.calib))(jnp.asarray(wins))
+        factors = ii.factors_from_preintegrations(idx_i, idx_j, pres, pvalid)
+        # velocities FREE (like the reference's staged InitializeIMU re-runs
+        # at 5 s / 15 s, src/LocalMapping.cc:204-228): a frozen, slightly-off
+        # velocity on the newest keyframe would be amplified by the huge
+        # preintegration information and push the scale estimate to zero
+        v, bg2, ba2, Rwg, scale, chi2 = ii.inertial_optimization(
+            R_wb, p_wb, self.state.kf_vel, factors,
+            ii.InertialInitConfig(fix_scale=False, fix_bias=True,
+                                  fix_vel=False),
+            bg_init=bg, ba_init=ba,
+        )
+        s = float(scale)
+        if os.environ.get("ORB_TPU_DEBUG_INIT"):
+            print(f"[scale-refine] K={K} nodes={nodes} s={s:.4f} "
+                  f"chi2_0={float(chi2[0]):.1f} chi2={float(chi2[-1]):.1f}",
+                  flush=True)
+        improved = float(chi2[-1]) < float(chi2[0])
+        if (not np.isfinite(s) or abs(s - 1.0) < 1e-5 or not improved
+                or not (0.5 < s < 2.0)):
+            return
+        kf_R2, kf_t2, _, lm2 = ii.apply_scaled_rotation(
+            self.state.kf_R, self.state.kf_t, self.state.kf_vel,
+            self.state.lm_pos, Rwg.T, scale,
+        )
+        # optimized velocities are pre-scale in the old world:
+        # v_metric_new = s * R_gw @ v_opt
+        vel_new = scale * jnp.einsum("ji,kj->ki", Rwg, v)
+        vel_full = self.state.kf_vel.at[:K].set(vel_new[:K])
+        self.state = self.state._replace(
+            kf_R=kf_R2, kf_t=kf_t2, kf_vel=vel_full, lm_pos=lm2,
+            epoch=self.state.epoch + 1,
+        )
+        self.state = ms.update_landmark_stats(self.state)
 
     def _window_imu(self, window_ids):
         """(W-1, S, 7) stacked sample windows joining consecutive window KFs
@@ -510,14 +621,15 @@ class StereoInertialTracker(trk.StereoTracker):
         R_wb, p_wb = body_from_cam(
             self.state.kf_R[:K], self.state.kf_t[:K], R_cb, t_cb)
 
-        # preintegrations between consecutive keyframes (zero bias)
-        wins = np.stack([self._pad_kf_imu(self.kf_windows.get(k, []))
-                         for k in range(1, K)])
+        # preintegrations between keyframe pairs merged to >=0.2 s baselines
+        # (zero bias)
+        nodes, wins, idx_i, idx_j, pvalid = self._merged_init_pairs(K)
         zero = jnp.zeros(3)
         pres = jax.vmap(lambda w: pre.integrate(jnp.asarray(w), zero, zero,
                                                 self.calib))(jnp.asarray(wins))
         # gravity bootstrap
-        R_wg = ii.gravity_bootstrap(R_wb[:-1], pres.dV, jnp.ones(K - 1, bool))
+        R_wg = ii.gravity_bootstrap(
+            R_wb[jnp.asarray(idx_i)], pres.dV, jnp.asarray(pvalid))
         # velocity init by finite differences
         dts = np.maximum(np.diff(np.asarray(self.state.kf_ts[:K])), 1e-3)
         v0 = np.zeros((K, 3), np.float32)
@@ -525,10 +637,21 @@ class StereoInertialTracker(trk.StereoTracker):
         v0[:-1] = (p_np[1:] - p_np[:-1]) / dts[:, None]
         v0[-1] = v0[-2]
 
-        factors = ii.factors_from_preintegrations(
-            np.arange(K - 1, dtype=np.int32), np.arange(1, K, dtype=np.int32),
-            pres, np.ones(K - 1, bool),
-        )
+        factors = ii.factors_from_preintegrations(idx_i, idx_j, pres, pvalid)
+        s_init = 1.0
+        if not self.icfg.fix_scale:
+            # monocular: closed-form linear alignment seeds scale + gravity +
+            # velocities — the map scale after two-view init is arbitrary and
+            # can sit far outside the LM basin around s=1
+            v_al, g_al, s_al = ii.visual_inertial_alignment(R_wb, p_wb, factors)
+            if np.isfinite(s_al) and 1e-3 < s_al < 1e3:
+                s_init = s_al
+                g_dir = -g_al / max(np.linalg.norm(g_al), 1e-9)
+                R_wg = ii.gravity_bootstrap(
+                    jnp.eye(3)[None], jnp.asarray(g_dir)[None],
+                    jnp.ones(1, bool))
+                # optimizer velocities are pre-scale (v_metric = s * v_opt)
+                v0 = np.asarray(v_al, np.float32) / s_init
         # rotate world to put bootstrap gravity along -Z first
         R_gw = R_wg.T
         R_wb_g = jnp.einsum("ij,kjl->kil", R_gw, R_wb)
@@ -536,8 +659,14 @@ class StereoInertialTracker(trk.StereoTracker):
         v, bg, ba, Rwg2, scale, chi2 = ii.inertial_optimization(
             R_wb_g, p_wb_g, jnp.einsum("ij,kj->ki", R_gw, jnp.asarray(v0)),
             factors,
-            ii.InertialInitConfig(fix_scale=self.icfg.fix_scale),
+            ii.InertialInitConfig(fix_scale=self.icfg.fix_scale,
+                                  n_iters=60),
+            scale_init=jnp.float32(s_init),
         )
+        if os.environ.get("ORB_TPU_DEBUG_INIT"):
+            print(f"[imu-init] K={K} nodes={nodes} s_init={s_init:.4f} "
+                  f"s={float(scale):.4f} chi2={float(chi2[-1]):.1f}",
+                  flush=True)
         # total world correction: refined gravity dir on top of bootstrap
         R_gw_total = Rwg2.T @ R_gw
         kf_R2, kf_t2, kf_vel2, lm2 = ii.apply_scaled_rotation(

@@ -113,6 +113,11 @@ class InertialInitConfig(NamedTuple):
     prior_acc: float = 1e10    # priorA
     fix_scale: bool = True      # stereo/RGBD: scale not optimized
     lambda0: float = 1e-4
+    # scale/gravity-only mode (reference: the InertialOptimization overload
+    # used by LocalMapping::ScaleRefinement, src/Optimizer.cc:3397 — biases
+    # and velocities FIXED, only Rwg + s free)
+    fix_bias: bool = False
+    fix_vel: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -122,6 +127,9 @@ def inertial_optimization(
     v0: jax.Array,        # (K,3) initial velocities
     factors: InertialInitFactors,
     cfg: InertialInitConfig = InertialInitConfig(),
+    bg_init: jax.Array | None = None,   # (3,) shared-bias start (default 0)
+    ba_init: jax.Array | None = None,
+    scale_init: jax.Array | None = None,  # scalar scale start (default 1)
 ):
     """Returns (v, bg, ba, Rwg, scale, chi2_history).
 
@@ -172,12 +180,21 @@ def inertial_optimization(
         r_ba = jnp.sqrt(cfg.prior_acc) * ba
         return jnp.concatenate([res.reshape(-1), r_bg, r_ba])
 
-    # DoF mask: scale frozen for stereo
+    # DoF mask: scale frozen for stereo; velocity/bias blocks frozen in
+    # scale/gravity-only refinement mode
     dof = jnp.ones(n_params)
     if cfg.fix_scale:
         dof = dof.at[-1].set(0.0)
+    if cfg.fix_vel:
+        dof = dof.at[: 3 * K].set(0.0)
+    if cfg.fix_bias:
+        dof = dof.at[3 * K : 3 * K + 6].set(0.0)
 
-    x0 = jnp.concatenate([v0.reshape(-1), jnp.zeros(9)])
+    bg0x = jnp.zeros(3) if bg_init is None else bg_init
+    ba0x = jnp.zeros(3) if ba_init is None else ba_init
+    ls0 = (jnp.zeros(1) if scale_init is None
+           else jnp.log(jnp.maximum(jnp.atleast_1d(scale_init), 1e-6)))
+    x0 = jnp.concatenate([v0.reshape(-1), bg0x, ba0x, jnp.zeros(2), ls0])
 
     def lm_step(carry, _):
         x, lam = carry
@@ -204,6 +221,65 @@ def inertial_optimization(
     v, bg, ba, theta, log_s = unpack(x)
     Rwg = lie.so3_exp(jnp.concatenate([theta, jnp.zeros(1, theta.dtype)]))
     return v, bg, ba, Rwg, jnp.exp(log_s), chi2
+
+
+def visual_inertial_alignment(R_wb, p_wb, factors: InertialInitFactors):
+    """Closed-form linear alignment: velocities, gravity and scale from the
+    preintegration constraints (zero bias), solved as one least-squares
+    system on the host.
+
+    With biases fixed the two preintegration equations are LINEAR in
+    x = [v_0..v_{K-1} (metric), g (3), s]:
+        R1ᵀ (v_j - v_i - g dt)                    = dV
+        R1ᵀ (s (p_j - p_i) - v_i dt - 0.5 g dt²)  = dP
+    (VINS-Mono-style initialization). The reference instead runs a 200-it LM
+    from s=1 after its gravity bootstrap (src/LocalMapping.cc:1228-1267,
+    src/Optimizer.cc:3045) — a monocular map whose true scale is far from 1
+    can strand that LM in a wrong basin; the linear seed lands in the right
+    one, and the nonlinear refinement then polishes with bias estimation.
+
+    Returns (v (K,3), g (3), s: float) as numpy arrays.
+    """
+    import numpy as np
+
+    R = np.asarray(R_wb, np.float64)
+    p = np.asarray(p_wb, np.float64)
+    K = R.shape[0]
+    idx_i = np.asarray(factors.idx_i)
+    idx_j = np.asarray(factors.idx_j)
+    valid = np.asarray(factors.valid)
+    dT = np.asarray(factors.dT, np.float64)
+    dV = np.asarray(factors.dV, np.float64)
+    dP = np.asarray(factors.dP, np.float64)
+    n = 3 * K + 4
+    rows, rhs = [], []
+    for k in range(idx_i.shape[0]):
+        if not valid[k]:
+            continue
+        i, j = int(idx_i[k]), int(idx_j[k])
+        R1T = R[i].T
+        dt = dT[k]
+        # velocity equation
+        a = np.zeros((3, n))
+        a[:, 3 * i : 3 * i + 3] = -R1T
+        a[:, 3 * j : 3 * j + 3] = R1T
+        a[:, 3 * K : 3 * K + 3] = -R1T * dt
+        rows.append(a)
+        rhs.append(dV[k])
+        # position equation
+        a = np.zeros((3, n))
+        a[:, 3 * i : 3 * i + 3] = -R1T * dt
+        a[:, 3 * K : 3 * K + 3] = -0.5 * R1T * dt * dt
+        a[:, 3 * K + 3] = R1T @ (p[j] - p[i])
+        rows.append(a)
+        rhs.append(dP[k])
+    A = np.concatenate(rows, axis=0)
+    b = np.concatenate(rhs, axis=0)
+    x, *_ = np.linalg.lstsq(A, b, rcond=None)
+    v = x[: 3 * K].reshape(K, 3)
+    g = x[3 * K : 3 * K + 3]
+    s = float(x[3 * K + 3])
+    return v.astype(np.float32), g.astype(np.float32), s
 
 
 def gravity_bootstrap(R_wb: jax.Array, dV: jax.Array, valid: jax.Array):

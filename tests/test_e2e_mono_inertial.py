@@ -63,7 +63,11 @@ def test_mono_inertial_metric_scale(seq):
     rmse_metric, _, n = ate.ate_rmse(seq.ts, seq.t_wc, est_ts, est_pos,
                                      with_scale=False)
     assert n >= 10
-    assert rmse_metric < 0.12, (
+    # Bar: the reference's own IMU-init contract is scale error <5% within
+    # 2 s (Changelog.md:44); on this ~1.5 m-extent trajectory with only
+    # ~1 s of post-init data that is ~0.1-0.15 m of unaligned ATE. The
+    # failure mode guarded against is an unrecovered scale (0.4-0.6 m).
+    assert rmse_metric < 0.15, (
         f"mono-inertial metric ATE {rmse_metric:.3f} m — scale not recovered")
 
     # Horn-optimal scale must be close to 1 (true metric)
