@@ -191,6 +191,10 @@ class LMConfig(NamedTuple):
     chi2_mono: float = CHI2_MONO
     chi2_stereo: float = CHI2_STEREO
     min_depth: float = 1e-2
+    # motion-only (all landmarks fixed): skip the landmark/Schur algebra
+    # entirely — the reference has a dedicated PoseOptimization for the same
+    # reason (src/Optimizer.cc:814)
+    motion_only: bool = False
 
 
 def _factor_weights(problem, chi2, is_stereo, inlier, cfg: LMConfig):
@@ -202,9 +206,37 @@ def _factor_weights(problem, chi2, is_stereo, inlier, cfg: LMConfig):
     return jnp.where(act, w, 0.0)
 
 
+def _assemble_and_solve_motion(problem: BAProblem, inlier, lam, cfg: LMConfig):
+    """Motion-only step: landmarks fixed, so the normal equations collapse
+    to one damped 6x6 solve per pose — no Hll/Hpl/Schur work."""
+    P = problem.R.shape[0]
+    err, Jp, Jl, chi2, depth = reproj_jacobians(problem)
+    is_stereo = problem.factors.uvr[:, 2] >= 0.0
+    w = _factor_weights(problem, chi2, is_stereo, inlier, cfg)
+    act = w > 0.0
+    err = jnp.where(act[:, None], err, 0.0)
+    Jp = jnp.where(act[:, None, None], Jp, 0.0)
+    Jp = jnp.where(problem.pose_fixed[problem.factors.pose_idx][:, None, None], 0.0, Jp)
+    wJp = w[:, None, None] * Jp
+    Hpp_f = jnp.einsum("fri,frj->fij", wJp, Jp)
+    bp_f = -jnp.einsum("fri,fr->fi", wJp, err)
+    pidx = problem.factors.pose_idx
+    Hpp = jnp.zeros((P, 6, 6)).at[pidx].add(Hpp_f)
+    bp = jnp.zeros((P, 6)).at[pidx].add(bp_f)
+    eye6 = jnp.eye(6)
+    Hd = Hpp + lam * Hpp * eye6 + 1e-8 * eye6
+    free = ~problem.pose_fixed
+    Hd = jnp.where(free[:, None, None], Hd, eye6)
+    bp = jnp.where(free[:, None], bp, 0.0)
+    dx_pose = jnp.linalg.solve(Hd, bp[..., None])[..., 0]
+    return dx_pose, jnp.zeros_like(problem.lm)
+
+
 def _assemble_and_solve(problem: BAProblem, inlier, lam, cfg: LMConfig):
     """One Gauss-Newton/LM step: build the Schur-reduced camera system and
     solve for pose + landmark updates."""
+    if cfg.motion_only:
+        return _assemble_and_solve_motion(problem, inlier, lam, cfg)
     P = problem.R.shape[0]
     L = problem.lm.shape[0]
     err, Jp, Jl, chi2, depth = reproj_jacobians(problem)
@@ -390,7 +422,8 @@ def pose_optimize(
         factors=factors,
         cam=cam, bf=bf,
     )
-    out, inlier, chi2 = bundle_adjust(problem, cfg)
+    out, inlier, chi2 = bundle_adjust(
+        problem, cfg._replace(motion_only=True))
     return PoseOptResult(
         out.R[0], out.t[0], inlier & valid, jnp.sum((inlier & valid).astype(jnp.int32))
     )
