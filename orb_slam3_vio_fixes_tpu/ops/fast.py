@@ -40,9 +40,23 @@ def fast_score(img: jax.Array) -> jax.Array:
     intensities (uint8 range). Returns (H, W) score (0 where not a corner at
     any threshold; border pixels are 0).
 
+    On TPU backends this routes to the single-pass Pallas kernel
+    (ops/pallas_kernels.fast_score_batch — bit-identical, ~3x faster than
+    the XLA lowering, which materializes the ring stack in HBM). The XLA
+    path below is the reference implementation and the CPU/test path.
+
     Ring differences are computed in bfloat16 — exact for integer intensities
     |d| <= 255 (bf16 represents integers up to 256 exactly) and half the HBM
     traffic of float32, which is what bounds this dense pass."""
+    if jax.default_backend() == "tpu":
+        from orb_slam3_vio_fixes_tpu.ops import pallas_kernels as pk
+
+        return pk.fast_score_batch(img[None])[0]
+    return _fast_score_xla(img)
+
+
+def _fast_score_xla(img: jax.Array) -> jax.Array:
+    """Pure-XLA FAST-9/16 score (reference implementation + CPU path)."""
     h, w = img.shape
     # round to integer intensities first (the reference's pyramid is uint8,
     # src/ORBextractor.cc:1170-1195) — makes the bf16 math below exact
@@ -172,6 +186,25 @@ def detect_atlas(
     max_per_cell: int = 4,
     border: int = 16,
 ):
+    """FAST keypoints over a pyramid atlas (computes the score itself; see
+    detect_atlas_from_score for the batched-score entry)."""
+    return detect_atlas_from_score(
+        fast_score(atlas), layout, budgets, threshold=threshold,
+        threshold_min=threshold_min, cell=cell, max_per_cell=max_per_cell,
+        border=border,
+    )
+
+
+def detect_atlas_from_score(
+    s: jax.Array,
+    layout,
+    budgets: tuple,
+    threshold: float = 20.0,
+    threshold_min: float = 7.0,
+    cell: int = 35,
+    max_per_cell: int = 4,
+    border: int = 16,
+):
     """FAST keypoints over a pyramid atlas: ONE dense score/NMS/pool pass for
     all levels, then a per-level top-k to each level's budget.
 
@@ -179,7 +212,6 @@ def detect_atlas(
     in ATLAS coordinates (row offsets included) so patch gathers can read the
     canvas directly.
     """
-    s = fast_score(atlas)
     s = jnp.where(jnp.asarray(_atlas_interior_mask(layout, border)), s, 0.0)
     keep = nms3(s)
     strong = s > threshold

@@ -217,19 +217,38 @@ def _describe(patches: jax.Array, angle: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "h", "w"))
-def _extract_impl(img: jax.Array, cfg: ORBConfig, h: int, w: int) -> Features:
-    """Atlas extraction: all pyramid levels live in ONE canvas so FAST
-    score/NMS/cell-pooling/blur each run once over the whole pyramid, the
-    patch gathers read one padded image, and orientation + BRIEF batch over
-    every keypoint of every level together. ~4x fewer, ~8x larger XLA ops
-    than a per-level loop (reference: per-level OpenCV calls in
-    src/ORBextractor.cc:1086-1168)."""
+def _extract_batch(imgs: jax.Array, cfg: ORBConfig, h: int, w: int) -> Features:
+    """Batched atlas extraction: all pyramid levels live in ONE canvas so
+    FAST score/NMS/cell-pooling/blur each run once over the whole pyramid,
+    the patch gathers read one padded image, and orientation + BRIEF batch
+    over every keypoint of every level together. ~4x fewer, ~8x larger XLA
+    ops than a per-level loop (reference: per-level OpenCV calls in
+    src/ORBextractor.cc:1086-1168).
+
+    imgs: (B, H, W). The FAST score runs on the whole batch in one Pallas
+    launch on TPU (vmap cannot batch a pallas_call with HBM operands); the
+    rest of the pipeline vmaps over the batch.
+    """
     layout = image_ops.atlas_layout(h, w, cfg.n_levels, cfg.scale,
                                     align=cfg.cell)
-    atlas = image_ops.build_pyramid_atlas(img, cfg.n_levels, cfg.scale, layout)
+    atlases = jax.vmap(
+        lambda im: image_ops.build_pyramid_atlas(
+            im, cfg.n_levels, cfg.scale, layout))(imgs)
+    if jax.default_backend() == "tpu":
+        from orb_slam3_vio_fixes_tpu.ops import pallas_kernels as pk
+
+        scores = pk.fast_score_batch(atlases)
+    else:
+        scores = jax.vmap(fast_ops._fast_score_xla)(atlases)
     budgets = tuple(features_per_level(cfg))
-    ay, ax, score, valid, octave = fast_ops.detect_atlas(
-        atlas, layout, budgets,
+    return jax.vmap(
+        lambda atlas, score: _describe_atlas(atlas, score, layout, budgets, cfg)
+    )(atlases, scores)
+
+
+def _describe_atlas(atlas, score_img, layout, budgets, cfg: ORBConfig) -> Features:
+    ay, ax, score, valid, octave = fast_ops.detect_atlas_from_score(
+        score_img, layout, budgets,
         threshold=cfg.fast_threshold,
         threshold_min=cfg.fast_threshold_min,
         cell=cfg.cell,
@@ -266,15 +285,14 @@ def _extract_impl(img: jax.Array, cfg: ORBConfig, h: int, w: int) -> Features:
 def extract(img: jax.Array, cfg: ORBConfig = ORBConfig()) -> Features:
     """Extract ORB features from a grayscale float32 (H, W) image."""
     h, w = img.shape
-    return _extract_impl(img, cfg, h, w)
+    batched = _extract_batch(img[None], cfg, h, w)
+    return jax.tree_util.tree_map(lambda a: a[0], batched)
 
 
 def extract_pair(img_l: jax.Array, img_r: jax.Array, cfg: ORBConfig = ORBConfig()):
     """Batched stereo extraction — one launch for both eyes (the TPU answer to
     the reference's two std::threads in src/Frame.cc:1059-1062)."""
-    batched = jax.vmap(lambda im: _extract_impl(im, cfg, *img_l.shape))(
-        jnp.stack([img_l, img_r])
-    )
+    batched = _extract_batch(jnp.stack([img_l, img_r]), cfg, *img_l.shape)
     left = jax.tree_util.tree_map(lambda a: a[0], batched)
     right = jax.tree_util.tree_map(lambda a: a[1], batched)
     return left, right
