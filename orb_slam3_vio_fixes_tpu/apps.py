@@ -116,6 +116,88 @@ def run_sequence(
     return summary
 
 
+def run_multisession(
+    dataset: str,
+    sensor_name: str,
+    settings_path: str,
+    seq_dirs: list,
+    out_traj: str,
+    timestamps: Optional[list] = None,
+    max_frames: Optional[int] = None,
+    traj_format: str = "tum",
+    vocab_path: Optional[str] = None,
+) -> dict:
+    """Multi-session SLAM: several sequences through ONE system.
+
+    Reference semantics: the example binaries accept multiple
+    (sequence, timestamps) pairs and call System::ChangeDataset between them
+    (e.g. Examples/Stereo-Inertial/stereo_inertial_euroc.cc main loop) — the
+    tracker loses the map at the seam, spawns a fresh map in the Atlas
+    (Tracking::CreateMapInAtlas, src/Tracking.cc:2662), and place recognition
+    merges the sessions when revisiting (LoopClosing::MergeLocal).
+
+    Requires a vocabulary; if none is given, a small one is trained on the
+    first sequence's first frame (self-contained default for experiments).
+    """
+    from orb_slam3_vio_fixes_tpu.io import datasets
+    from orb_slam3_vio_fixes_tpu.io.settings import load_settings
+    from orb_slam3_vio_fixes_tpu.runtime import PipelineRunner
+    from orb_slam3_vio_fixes_tpu.sensors import Sensor
+    from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
+    from orb_slam3_vio_fixes_tpu.system import SLAMSystem
+
+    sensor = Sensor[sensor_name]
+    seqs = []
+    for i, d in enumerate(seq_dirs):
+        tf = timestamps[i] if timestamps else None
+        if dataset in ("euroc", "tumvi"):
+            seqs.append(datasets.load_euroc(
+                d, timestamps_file=tf, stereo=sensor.is_stereo,
+                with_imu=sensor.has_imu))
+        elif dataset == "kitti":
+            seqs.append(datasets.load_kitti(d, stereo=sensor.is_stereo))
+        else:
+            raise ValueError(f"multisession supports euroc/tumvi/kitti, "
+                             f"got {dataset}")
+
+    if vocab_path:
+        vocab = voc.load(vocab_path)
+    else:
+        from orb_slam3_vio_fixes_tpu.ops import orb as orb_ops
+
+        img0 = seqs[0].frame(0)[1]
+        feats = orb_ops.extract(np.asarray(img0, np.float32),
+                                orb_ops.ORBConfig(n_features=1000))
+        pool = np.asarray(feats.desc)[np.asarray(feats.valid)]
+        vocab = voc.train(pool, branching=8, depth=2, seed=0)
+
+    settings = load_settings(settings_path, sensor)
+    slam = SLAMSystem(settings, sensor, vocab=vocab)
+
+    per_session = []
+    for i, seq in enumerate(seqs):
+        runner = PipelineRunner(slam, seq, max_frames=max_frames)
+        res = runner.run()
+        per_session.append({
+            "n_frames": res.n_frames, "fps": round(res.fps, 2),
+            "n_keyframes": slam.n_keyframes(),
+            "maps_stored": len(slam.atlas.stored) if slam.atlas else 0,
+            "n_merges": slam.atlas.n_merges if slam.atlas else 0,
+        })
+
+    save = {
+        "tum": slam.save_trajectory_tum,
+        "euroc": slam.save_trajectory_euroc,
+        "kitti": slam.save_trajectory_kitti,
+    }[traj_format]
+    save(out_traj)
+    return {
+        "sessions": per_session,
+        "n_merges": slam.atlas.n_merges if slam.atlas else 0,
+        "trajectory": out_traj,
+    }
+
+
 def main_template(dataset: str, sensor_name: str, description: str,
                   argv=None) -> int:
     """argparse main shared by the examples/ scripts."""

@@ -112,6 +112,60 @@ def match_previous(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(
+    state: ms.MapState,
+    prev_obs, prev_octave,
+    R_pred, t_pred,
+    frame: FrameData,
+    window_kfs,
+    cam: Camera, bf,
+    th_narrow, th_wide, th_local,
+    cfg: TrackerConfig,
+):
+    """The whole per-frame OK-path as ONE device program: motion-model
+    matching (with the widened-radius retry as lax.cond instead of a host
+    round trip), motion-only pose optimization, local-map tracking, and the
+    keyframe-decision statistics.
+
+    The host pulls a single 16-float vector per frame — on a tunneled TPU
+    every separate device->host sync costs a full RTT, and the reference's
+    Track() control flow would otherwise need 4-6 of them
+    (src/Tracking.cc:1794-2332).
+
+    Returns (R2, t2, cur_obs, packed) with packed =
+      [R2 (9), t2 (3), n_match, n_inliers, n_close_tracked, n_close_untracked].
+    """
+    cur_obs0, n_m0 = match_previous(
+        state, prev_obs, prev_octave, R_pred, t_pred, frame, cam, bf,
+        th_narrow, cfg)
+
+    def wide(_):
+        return match_previous(
+            state, prev_obs, prev_octave, R_pred, t_pred, frame, cam, bf,
+            th_wide, cfg)
+
+    cur_obs, n_m = jax.lax.cond(
+        n_m0 < 20, wide, lambda _: (cur_obs0, n_m0), None)
+    R1, t1, cur_obs, n_inl = pose_opt_from_obs(
+        state, R_pred, t_pred, frame, cur_obs, cam, bf, cfg)
+    R2, t2, cur_obs, n_inl2 = track_local_map(
+        state, R1, t1, frame, cur_obs, window_kfs, cam, bf, th_local, cfg)
+    baseline = bf / cam.fx
+    close = ((frame.depth > 0)
+             & (frame.depth < cfg.th_depth_factor * baseline) & frame.valid)
+    tracked = cur_obs >= 0
+    packed = jnp.concatenate([
+        R2.reshape(-1), t2,
+        jnp.stack([
+            n_m.astype(jnp.float32), n_inl2.astype(jnp.float32),
+            jnp.sum(close & tracked).astype(jnp.float32),
+            jnp.sum(close & ~tracked).astype(jnp.float32),
+        ]),
+    ])
+    return R2, t2, cur_obs, packed
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def pose_opt_from_obs(
     state: ms.MapState, R, t, frame: FrameData, cur_obs, cam: Camera, bf,
     cfg: TrackerConfig,
@@ -375,6 +429,7 @@ class StereoTracker:
         self.frames_since_kf = 0
         self.ref_inliers = 1
         self.last_n_inliers = 0
+        self._frame_stats = None  # packed per-frame decision scalars
         self.trajectory = []  # (ts, R_cw, t_cw) per frame
 
     # -- keyframe ids are dense [0, n_kf) --
@@ -481,25 +536,17 @@ class StereoTracker:
         else:
             R_pred, t_pred = self.R, self.t
 
-        cur_obs, n_m = match_previous(
-            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-            frame, self.cam, self.bf, jnp.float32(self.match_radius[0]), cfg,
-        )
-        if int(n_m) < 20:  # widen like the reference (th=2*7)
-            cur_obs, n_m = match_previous(
-                self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-                frame, self.cam, self.bf, jnp.float32(self.match_radius[1]), cfg,
-            )
-        R1, t1, cur_obs, n_inl = pose_opt_from_obs(
-            self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg
-        )
-        # local map tracking
         window = self._local_window()
-        R2, t2, cur_obs, n_inl2 = track_local_map(
-            self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-            jnp.float32(1.0), cfg,
+        R2, t2, cur_obs, packed = track_step(
+            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
+            frame, window, self.cam, self.bf,
+            jnp.float32(self.match_radius[0]),
+            jnp.float32(self.match_radius[1]), jnp.float32(1.0), cfg,
         )
-        n_inl2_i = int(n_inl2)
+        # ONE device->host pull per frame: pose + decision scalars
+        packed = np.asarray(packed)
+        self._frame_stats = packed[12:].astype(np.int64)
+        n_inl2_i = int(self._frame_stats[1])
         self.last_n_inliers = n_inl2_i
 
         if n_inl2_i < cfg.min_kf_inliers:
@@ -522,8 +569,11 @@ class StereoTracker:
         if not self.localization_only and self._need_keyframe(
                 frame, cur_obs, n_inl2_i):
             self._insert_keyframe(frame, R2, t2, cur_obs)
-        self._record(ts)
-        return np.asarray(self.R), np.asarray(self.t), self.track_state
+        # record from the already-fetched packed vector (no extra sync)
+        R_np = packed[:9].reshape(3, 3).astype(np.float64)
+        t_np = packed[9:12].astype(np.float64)
+        self.trajectory.append((float(ts), R_np, t_np))
+        return R_np, t_np, self.track_state
 
     # -- internals --
 
@@ -569,13 +619,20 @@ class StereoTracker:
             return False
         c1a = self.frames_since_kf >= cfg.max_frames_between_kf
         c2 = n_inliers < cfg.kf_inlier_ratio * self.ref_inliers and n_inliers > 15
-        # c1c: close points tracked vs untracked
-        baseline = float(self.bf / self.cam.fx)
-        close = np.asarray((frame.depth > 0) & (frame.depth < cfg.th_depth_factor * baseline)
-                           & frame.valid)
-        tracked = np.asarray(cur_obs >= 0)
-        n_close_tracked = int((close & tracked).sum())
-        n_close_untracked = int((close & ~tracked).sum())
+        # c1c: close points tracked vs untracked — from the per-frame packed
+        # stats when available (one device pull per frame); recomputed with a
+        # sync only on paths that bypass track_step
+        if getattr(self, "_frame_stats", None) is not None:
+            n_close_tracked = int(self._frame_stats[2])
+            n_close_untracked = int(self._frame_stats[3])
+        else:
+            baseline = float(self.bf / self.cam.fx)
+            close = np.asarray(
+                (frame.depth > 0)
+                & (frame.depth < cfg.th_depth_factor * baseline) & frame.valid)
+            tracked = np.asarray(cur_obs >= 0)
+            n_close_tracked = int((close & tracked).sum())
+            n_close_untracked = int((close & ~tracked).sum())
         c1c = n_close_tracked < 100 and n_close_untracked > 70
         return bool(c1a or c2 or c1c)
 

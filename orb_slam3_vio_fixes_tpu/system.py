@@ -79,7 +79,8 @@ class SLAMSystem:
             n_features=s.n_features, n_levels=s.n_levels, scale=s.scale_factor,
         )
         if map_cfg is None:
-            map_cfg = ms.MapConfig(n_levels=s.n_levels, scale=s.scale_factor)
+            map_cfg = ms.MapConfig(n_levels=s.n_levels, scale=s.scale_factor,
+                                   max_features=s.n_features)
         cfg = tracker_cfg or trk.TrackerConfig(
             orb=orb_cfg, map=map_cfg,
             width=s.new_width or s.width, height=s.new_height or s.height,

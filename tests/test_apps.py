@@ -98,3 +98,20 @@ def test_example_scripts_parse():
         )
         assert r.returncode == 0, r.stderr
         assert "settings" in r.stdout
+
+
+def test_run_multisession(disk_seq, tmp_path):
+    """Two sessions through one system + Atlas (reference: multi-sequence
+    example mode with System::ChangeDataset between sequences). Merge
+    mechanics themselves are covered by test_atlas; here: the runner loops
+    sessions, keeps one Atlas, and exports a combined trajectory."""
+    from orb_slam3_vio_fixes_tpu.apps import run_multisession
+
+    root, yaml_path, sseq = disk_seq
+    out = str(tmp_path / "multi.txt")
+    summary = run_multisession(
+        "euroc", "STEREO", yaml_path, [root, root], out)
+    assert len(summary["sessions"]) == 2
+    assert os.path.exists(out)
+    lines = [l for l in open(out) if l.strip()]
+    assert len(lines) == 12  # both sessions' frames exported
