@@ -646,11 +646,15 @@ class StereoTracker:
 
     def _insert_keyframe(self, frame, R, t, cur_obs):
         kf_id = self.n_kf
+        # landmark counter flows as a DEVICE scalar through the mapping
+        # stages (create -> triangulate); one host pull at the end instead of
+        # one per stage — each sync is a full RTT on a remote-TPU link
+        n_lm_dev = jnp.int32(self.n_lm)
         self.state, n_created = create_keyframe(
-            self.state, jnp.int32(kf_id), jnp.int32(self.n_lm), frame, R, t,
+            self.state, jnp.int32(kf_id), n_lm_dev, frame, R, t,
             cur_obs, jnp.int32(kf_id - 1), self.cam, self.bf, self.cfg,
         )
-        self.n_lm += int(n_created)
+        n_lm_dev = n_lm_dev + n_created
         self.n_kf += 1
         self.frames_since_kf = 0
         # synchronous local-mapping stages, reference pipeline order
@@ -661,9 +665,9 @@ class StereoTracker:
             neighbors[i] = kf_id - 1 - i
         self.state, n_tri = lm_mod.create_new_landmarks(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors),
-            jnp.int32(self.n_lm), self.cam, self.bf, lcfg,
+            n_lm_dev, self.cam, self.bf, lcfg,
         )
-        self.n_lm += int(n_tri)
+        n_lm_dev = n_lm_dev + n_tri
         self.state = lm_mod.fuse_duplicates(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
         )
@@ -682,15 +686,22 @@ class StereoTracker:
                 self.R = self.state.kf_R[kf_id]
                 self.t = self.state.kf_t[kf_id]
                 self.vel = None
+        # ONE pull for the keyframe's bookkeeping scalars
+        counts = np.asarray(jnp.stack([
+            n_lm_dev, jnp.sum((self.state.kf_obs[kf_id] >= 0).astype(jnp.int32))
+        ]))
+        self.n_lm = int(counts[0])
+        self.ref_inliers = max(int(counts[1]), 1)
         # map merge against stored Atlas maps (reference: LoopClosing's merge
         # branch, src/LoopClosing.cc:120-183)
         if self.atlas is not None and self.atlas.stored:
             res = self.atlas.try_merge(self.state, kf_id, self.n_kf, self.n_lm)
             if res is not None:
                 kf_id = self._adopt_merge(res, kf_id)
+                self.ref_inliers = max(
+                    int(jnp.sum(self.state.kf_obs[kf_id] >= 0)), 1)
         # rebind frame obs to the (possibly fused/culled) keyframe bindings
         self.prev_obs = self.state.kf_obs[kf_id]
-        self.ref_inliers = int(jnp.sum(self.state.kf_obs[kf_id] >= 0))
 
     # -- Atlas transitions --
 
