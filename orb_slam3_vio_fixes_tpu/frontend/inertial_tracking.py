@@ -583,7 +583,8 @@ class StereoInertialTracker(trk.StereoTracker):
             kf_R=kf_R2, kf_t=kf_t2, kf_vel=vel_full, lm_pos=lm2,
             epoch=self.state.epoch + 1,
         )
-        self.state = ms.update_landmark_stats(self.state)
+        self.state = ms.update_landmark_stats(
+            self.state, self.cfg.orb.n_levels, self.cfg.orb.scale)
 
     def _window_imu(self, window_ids):
         """(W-1, S, 7) stacked sample windows joining consecutive window KFs
@@ -685,7 +686,8 @@ class StereoInertialTracker(trk.StereoTracker):
             kf_ba=self.state.kf_ba.at[:K].set(jnp.tile(ba, (K, 1))),
             epoch=self.state.epoch + 1,
         )
-        self.state = ms.update_landmark_stats(self.state)
+        self.state = ms.update_landmark_stats(
+            self.state, self.cfg.orb.n_levels, self.cfg.orb.scale)
         # re-base the tracker state
         kf_last = K - 1
         self.R = self.state.kf_R[kf_last]

@@ -199,7 +199,7 @@ def create_new_landmarks(
     n0 = n_lm
     for w in range(cfg.n_neighbors):
         state, n_lm = one_neighbor(state, n_lm, neighbor_ids[w])
-    state = ms.update_landmark_stats(state)
+    state = ms.update_landmark_stats(state, cfg.n_levels, cfg.scale)
     return state._replace(epoch=state.epoch + 1), n_lm - n0
 
 
@@ -288,7 +288,7 @@ def fuse_duplicates(
     state = state._replace(
         kf_obs=relabeled, lm_valid=lm_valid, epoch=state.epoch + 1
     )
-    return ms.update_landmark_stats(state)
+    return ms.update_landmark_stats(state, cfg.n_levels, cfg.scale)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -168,10 +168,14 @@ class LoopCloser:
     """
 
     def __init__(self, vocab: voc.Vocabulary, cam: Camera, max_kf: int,
-                 inv_sigma2_oct, cfg: LoopConfig = LoopConfig()):
+                 inv_sigma2_oct, cfg: LoopConfig = LoopConfig(),
+                 bf: float = 0.0, n_levels: int = 8, scale: float = 1.2):
         self.vocab = vocab
         self.cam = cam
         self.cfg = cfg
+        self.bf = jnp.float32(bf)
+        self.n_levels = n_levels
+        self.scale = scale
         self.db = voc.KeyFrameDatabase.empty(max_kf, vocab.n_words)
         self.inv_sigma2_oct = jnp.asarray(inv_sigma2_oct)
         self.key = jax.random.PRNGKey(7)
@@ -268,4 +272,15 @@ class LoopCloser:
             pg.PoseGraphConfig(n_iters=cfg.pg_iters, fix_scale=cfg.fix_scale),
         )
         state = apply_correction(state, R, t, s)
+        # global BA after the essential-graph correction (reference:
+        # CorrectLoop spawns RunGlobalBundleAdjustment when the map has <200
+        # keyframes, src/LoopClosing.cc:1199-1207; our matrix-free CG Schur
+        # solver scales to the full fixed-capacity map so the size gate is a
+        # config knob, not a hard limit)
+        if cfg.run_gba and n_kf <= cfg.gba_max_kf:
+            from orb_slam3_vio_fixes_tpu.optim import global_ba as gba_mod
+
+            state, _ = gba_mod.run_global_ba(
+                state, self.inv_sigma2_oct, self.cam, self.bf, jnp.int32(0),
+                n_levels=self.n_levels, scale=self.scale)
         return state

@@ -117,7 +117,7 @@ def create_initial_mono_map(
         jnp.int32(0), cur.uv, cur.ur, cur.octave, cur.angle, cur.desc,
         cur.valid, obs1, cur.depth,
     )
-    state = ms.update_landmark_stats(state)
+    state = ms.update_landmark_stats(state, cfg.orb.n_levels, cfg.orb.scale)
     n_lm = jnp.sum(is_new.astype(jnp.int32))
     return state, n_lm, obs1, R21, t1
 

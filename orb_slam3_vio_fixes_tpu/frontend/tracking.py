@@ -314,7 +314,7 @@ def create_keyframe(
         frame.uv, frame.ur, frame.octave, frame.angle, frame.desc, frame.valid,
         obs, frame.depth,
     )
-    state = ms.update_landmark_stats(state)
+    state = ms.update_landmark_stats(state, cfg.orb.n_levels, cfg.orb.scale)
     return state, jnp.sum(is_new.astype(jnp.int32))
 
 

@@ -195,6 +195,18 @@ class LMConfig(NamedTuple):
     # entirely — the reference has a dedicated PoseOptimization for the same
     # reason (src/Optimizer.cc:814)
     motion_only: bool = False
+    # "dense": materialize the (P, L) Hpl table and solve the reduced camera
+    #   system with a dense factorization — right for local windows (P<=16);
+    # "cg": matrix-free Schur — S·v evaluated factor-wise (never forming
+    #   P x L anything), solved by preconditioned conjugate gradients with a
+    #   block-Jacobi (pose-diagonal) preconditioner. This is what makes
+    #   GLOBAL BA over a full map (P=256, L=32k, F~400k) fit: memory is
+    #   O(F + P + L) instead of O(P*L). The reference runs its GBA through
+    #   g2o's sparse Cholesky (src/Optimizer.cc:60-390); on TPU the
+    #   matrix-free matvec is the idiomatic equivalent (all gathers/scatters
+    #   + small-block einsums, no sparse factorization).
+    solver: str = "dense"
+    cg_iters: int = 40
 
 
 def _factor_weights(problem, chi2, is_stereo, inlier, cfg: LMConfig):
@@ -232,11 +244,163 @@ def _assemble_and_solve_motion(problem: BAProblem, inlier, lam, cfg: LMConfig):
     return dx_pose, jnp.zeros_like(problem.lm)
 
 
+def _factor_blocks(problem: BAProblem, inlier, cfg: LMConfig):
+    """Shared per-factor Hessian blocks for both Schur solvers.
+
+    Returns (Hpl_f (F,6,3), Hpp (P,6,6), Hll (L,3,3), bp (P,6), bl (L,3)).
+    Invalid/fixed blocks are hard-zeroed (0*inf=NaN guard — see the dense
+    path's comment)."""
+    P = problem.R.shape[0]
+    L = problem.lm.shape[0]
+    err, Jp, Jl, chi2, depth = reproj_jacobians(problem)
+    is_stereo = problem.factors.uvr[:, 2] >= 0.0
+    w = _factor_weights(problem, chi2, is_stereo, inlier, cfg)
+    act = w > 0.0
+    err = jnp.where(act[:, None], err, 0.0)
+    Jp = jnp.where(act[:, None, None], Jp, 0.0)
+    Jl = jnp.where(act[:, None, None], Jl, 0.0)
+    Jp = jnp.where(problem.pose_fixed[problem.factors.pose_idx][:, None, None], 0.0, Jp)
+    Jl = jnp.where(problem.lm_fixed[problem.factors.lm_idx][:, None, None], 0.0, Jl)
+    wJp = w[:, None, None] * Jp
+    wJl = w[:, None, None] * Jl
+    Hpp_f = jnp.einsum("fri,frj->fij", wJp, Jp)
+    Hll_f = jnp.einsum("fri,frj->fij", wJl, Jl)
+    Hpl_f = jnp.einsum("fri,frj->fij", wJp, Jl)
+    bp_f = -jnp.einsum("fri,fr->fi", wJp, err)
+    bl_f = -jnp.einsum("fri,fr->fi", wJl, err)
+    pidx = problem.factors.pose_idx
+    lidx = problem.factors.lm_idx
+    Hpp = jnp.zeros((P, 6, 6)).at[pidx].add(Hpp_f)
+    Hll = jnp.zeros((L, 3, 3)).at[lidx].add(Hll_f)
+    bp = jnp.zeros((P, 6)).at[pidx].add(bp_f)
+    bl = jnp.zeros((L, 3)).at[lidx].add(bl_f)
+    return Hpl_f, Hpp, Hll, bp, bl
+
+
+def _damped_blocks(Hpp, Hll, pose_fixed, lam):
+    """LM-damp the diagonal blocks; invert the landmark blocks.
+
+    Returns (Hpp_d, Hll_inv, lm_active, free)."""
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    Hpp_d = Hpp + lam * Hpp * eye6 + 1e-10 * eye6
+    Hll_d = Hll + lam * Hll * eye3
+    lm_active = jnp.abs(Hll_d).sum((-1, -2)) > 1e-12
+    Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
+    # relative Tikhonov floor (see the dense path's comment: f32 conditioning)
+    mu = 1e-3 * (Hll_d[..., 0, 0] + Hll_d[..., 1, 1] + Hll_d[..., 2, 2]) / 3.0 + 1e-8
+    Hll_inv = jnp.linalg.inv(Hll_d + mu[:, None, None] * eye3)
+    free = ~pose_fixed
+    return Hpp_d, Hll_inv, lm_active, free
+
+
+def schur_cg_solve(
+    Hpl_f, Hpp_d, Hll_inv, bp, bl, pidx, lidx, free,
+    cg_iters: int, psum_axis: str | None = None,
+):
+    """Solve the Schur-reduced camera system S dx = rhs by preconditioned CG
+    without ever materializing S or the (P, L) cross table.
+
+    S v  = Hpp_d v - Hpl Hll^-1 Hpl^T v, evaluated factor-wise:
+      u_f = Hpl_f^T v[pose(f)]         (gather + (F,3) einsum)
+      y_l = scatter-add_f u_f          (landmark-space accumulation)
+      z_l = Hll_inv y_l
+      q_f = Hpl_f z[lm(f)]
+      w_p = scatter-add_f q_f          [psum over `psum_axis` when factors
+                                        are sharded across a device mesh]
+    Preconditioner: block-Jacobi M = Hpp_d (P damped 6x6 inverses).
+
+    Returns dx_pose (P, 6). Fixed poses stay at zero.
+    """
+    Pn = Hpp_d.shape[0]
+    L = Hll_inv.shape[0]
+
+    def psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
+
+    def hpl_hinv_hplT(v):
+        u = jnp.einsum("fij,fi->fj", Hpl_f, v[pidx])     # (F, 3)
+        y = jnp.zeros((L, 3)).at[lidx].add(u)
+        z = jnp.einsum("lij,lj->li", Hll_inv, y)
+        q = jnp.einsum("fij,fj->fi", Hpl_f, z[lidx])     # (F, 6)
+        return psum(jnp.zeros((Pn, 6)).at[pidx].add(q))
+
+    def matvec(v):
+        v = jnp.where(free[:, None], v, 0.0)
+        Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - hpl_hinv_hplT(v)
+        return jnp.where(free[:, None], Sv, 0.0)
+
+    # rhs = bp - Hpl Hll^-1 bl
+    z0 = jnp.einsum("lij,lj->li", Hll_inv, bl)
+    q0 = jnp.einsum("fij,fj->fi", Hpl_f, z0[lidx])
+    rhs = bp - psum(jnp.zeros((Pn, 6)).at[pidx].add(q0))
+    rhs = jnp.where(free[:, None], rhs, 0.0)
+
+    # block-Jacobi preconditioner; empty/fixed pose blocks -> identity
+    diag_ok = (jnp.abs(Hpp_d).sum((-1, -2)) > 1e-9) & free
+    M = jnp.where(diag_ok[:, None, None], Hpp_d, jnp.eye(6))
+    Minv = jnp.linalg.inv(M)
+
+    def precond(r):
+        return jnp.einsum("pij,pj->pi", Minv, r)
+
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        # freeze the iteration once converged (alpha=0) instead of dividing
+        # by ~0 — fixed trip count keeps this a single compiled scan
+        ok = (pAp > 1e-20) & (rz > 1e-20)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(ok, rz_new / jnp.where(rz > 1e-20, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=cg_iters)
+    return jnp.where(free[:, None], x, 0.0)
+
+
+def backsub_landmarks(Hpl_f, Hll_inv, bl, dx_pose, pidx, lidx, lm_dead):
+    """dl = Hll^-1 (bl - Hpl^T dx) — factor-wise scatter, no (P, L) table."""
+    L = Hll_inv.shape[0]
+    u = jnp.einsum("fij,fi->fj", Hpl_f, dx_pose[pidx])
+    y = jnp.zeros((L, 3)).at[lidx].add(u)
+    dlm = jnp.einsum("lij,lj->li", Hll_inv, bl - y)
+    return jnp.where(lm_dead[:, None], 0.0, dlm)
+
+
+def _assemble_and_solve_cg(problem: BAProblem, inlier, lam, cfg: LMConfig):
+    """Matrix-free LM step (solver="cg") — scales to full-map GBA."""
+    Hpl_f, Hpp, Hll, bp, bl = _factor_blocks(problem, inlier, cfg)
+    Hpp_d, Hll_inv, lm_active, free = _damped_blocks(
+        Hpp, Hll, problem.pose_fixed, lam)
+    pidx = problem.factors.pose_idx
+    lidx = problem.factors.lm_idx
+    dx_pose = schur_cg_solve(
+        Hpl_f, Hpp_d, Hll_inv, bp, bl, pidx, lidx, free, cfg.cg_iters)
+    dlm = backsub_landmarks(
+        Hpl_f, Hll_inv, bl, dx_pose, pidx, lidx,
+        problem.lm_fixed | ~lm_active)
+    return dx_pose, dlm
+
+
 def _assemble_and_solve(problem: BAProblem, inlier, lam, cfg: LMConfig):
     """One Gauss-Newton/LM step: build the Schur-reduced camera system and
     solve for pose + landmark updates."""
     if cfg.motion_only:
         return _assemble_and_solve_motion(problem, inlier, lam, cfg)
+    if cfg.solver == "cg":
+        return _assemble_and_solve_cg(problem, inlier, lam, cfg)
     P = problem.R.shape[0]
     L = problem.lm.shape[0]
     err, Jp, Jl, chi2, depth = reproj_jacobians(problem)

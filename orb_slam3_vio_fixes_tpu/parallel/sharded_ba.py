@@ -81,9 +81,34 @@ def partition_problem(problem: ba_core.BAProblem, n_shards: int) -> ba_core.BAPr
     )
 
 
+def _shard_step_cg(problem: ba_core.BAProblem, inlier, lam, cfg, axis: str):
+    """Matrix-free distributed Schur step (cfg.solver == "cg"): no (P, L)
+    table on any shard, so this scales to full-map GBA sizes. Communication:
+    one psum of (P,6,6)+(P,6) for the camera-block assembly, then one (P,6)
+    psum per CG iteration (the factor-side scatter partials) — bytes per
+    iteration independent of L and F, and ~50x smaller than the dense path's
+    (6P)^2 psum at P=256."""
+    Hpl_f, Hpp, Hll, bp, bl = ba_core._factor_blocks(problem, inlier, cfg)
+    Hpp = jax.lax.psum(Hpp, axis)
+    bp = jax.lax.psum(bp, axis)
+    Hpp_d, Hll_inv, lm_active, free = ba_core._damped_blocks(
+        Hpp, Hll, problem.pose_fixed, lam)
+    pidx = problem.factors.pose_idx
+    lidx = problem.factors.lm_idx
+    dx_pose = ba_core.schur_cg_solve(
+        Hpl_f, Hpp_d, Hll_inv, bp, bl, pidx, lidx, free,
+        cfg.cg_iters, psum_axis=axis)
+    dlm = ba_core.backsub_landmarks(
+        Hpl_f, Hll_inv, bl, dx_pose, pidx, lidx,
+        problem.lm_fixed | ~lm_active)
+    return dx_pose, dlm
+
+
 def _shard_step(problem: ba_core.BAProblem, inlier, lam, cfg, axis: str):
     """Inside shard_map: factor/landmark arrays are the LOCAL shard; pose
     arrays replicated. Returns (dx_pose replicated, dlm local shard)."""
+    if cfg.solver == "cg":
+        return _shard_step_cg(problem, inlier, lam, cfg, axis)
     P_ = problem.R.shape[0]
     L_loc = problem.lm.shape[0]
     err, Jp, Jl, chi2, depth = ba_core.reproj_jacobians(problem)
@@ -232,3 +257,70 @@ def distributed_bundle_adjust(
     (problem, inlier), _ = jax.lax.scan(one_round, (problem, inlier), None, length=cfg.n_rounds)
     _, chi2, _, _ = ba_core.reproj_residuals(problem)
     return problem, inlier, chi2
+
+
+def distributed_global_ba(
+    state,
+    inv_sigma2_oct,
+    cam,
+    bf,
+    mesh: Mesh,
+    fixed_kf: int = 0,
+    cfg: ba_core.LMConfig = ba_core.LMConfig(
+        n_rounds=2, n_iters=8, solver="cg", cg_iters=40),
+    axis: str = "lm",
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Global bundle adjustment of a whole MapState across a device mesh.
+
+    The multi-chip twin of optim/global_ba.run_global_ba: same factor
+    extraction, same LM schedule, but landmark blocks + their factors live on
+    shards and the reduced camera system is assembled with psum over ICI
+    (matrix-free CG when cfg.solver == "cg"). This is the entry point the
+    pipeline's loop-closing GBA calls when a mesh is available.
+
+    Returns (state', n_inlier_factors).
+    """
+    import jax.numpy as jnp
+
+    from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    window = jnp.arange(K, dtype=jnp.int32)
+    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(
+        state, window, inv_sigma2_oct)
+    # exclude factors of <2-view landmarks (see optim/global_ba.run_global_ba)
+    n_obs = ms.landmark_obs_count(state)
+    valid = valid & (n_obs[lm_idx] >= 2)
+    factors = ba_core.ReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    pose_fixed = (~state.kf_valid).at[fixed_kf].set(True)
+    problem = ba_core.BAProblem(
+        R=state.kf_R, t=state.kf_t, pose_fixed=pose_fixed,
+        lm=state.lm_pos, lm_valid=state.lm_valid, lm_fixed=n_obs < 2,
+        factors=factors, cam=cam, bf=bf,
+    )
+    part = partition_problem(problem, mesh.shape[axis])
+    out, _, _ = distributed_bundle_adjust(part, mesh, cfg, axis)
+
+    upd = state.kf_valid & ~pose_fixed
+    new_state = state._replace(
+        kf_R=jnp.where(upd[:, None, None], out.R, state.kf_R),
+        kf_t=jnp.where(upd[:, None], out.t, state.kf_t),
+        lm_pos=out.lm[:L],
+        epoch=state.epoch + 1,
+    )
+    # outlier unbinding in the ORIGINAL (K, N) factor order — the partitioned
+    # problem's factors are landmark-reordered, so re-evaluate residuals on
+    # the corrected state instead of unscrambling the permutation
+    final = problem._replace(R=new_state.kf_R, t=new_state.kf_t,
+                             lm=new_state.lm_pos)
+    _, chi2, depth, is_stereo = ba_core.reproj_residuals(final)
+    th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = (chi2 <= th) & (depth > cfg.min_depth)
+    drop = (valid & ~inlier).reshape(K, N)
+    new_state = new_state._replace(
+        kf_obs=jnp.where(drop, -1, new_state.kf_obs))
+    new_state = ms.update_landmark_stats(new_state, n_levels, scale)
+    return new_state, jnp.sum((valid & inlier).astype(jnp.int32))

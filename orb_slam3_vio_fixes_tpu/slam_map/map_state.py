@@ -231,8 +231,9 @@ def landmark_obs_count(state: MapState) -> jax.Array:
     return observation_matrix(state).sum(0).astype(jnp.int32)
 
 
-@jax.jit
-def update_landmark_stats(state: MapState) -> MapState:
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
+def update_landmark_stats(state: MapState, n_levels: int = 8,
+                          scale: float = 1.2) -> MapState:
     """Recompute landmark normals, scale-invariance distances, and
     representative descriptors from current observations.
 
@@ -264,12 +265,11 @@ def update_landmark_stats(state: MapState) -> MapState:
     # scale range from mean observation distance + octave
     dist = jnp.linalg.norm(d, axis=-1)
     oct_flat = state.kf_octave.reshape(-1)
-    sf = 1.2 ** oct_flat.astype(jnp.float32)
+    sf = scale ** oct_flat.astype(jnp.float32)
     level_dist = dist * sf  # distance normalized to level-0 (max dist)
     maxd_sum = jnp.zeros(L).at[tgt].add(jnp.where(good, level_dist, 0.0))
     maxdist = maxd_sum / jnp.maximum(cnt, 1.0)
-    n_levels = 8
-    mindist = maxdist / (1.2 ** (n_levels - 1))
+    mindist = maxdist / (scale ** (n_levels - 1))
 
     keep = state.lm_valid
     return state._replace(

@@ -90,19 +90,6 @@ class SLAMSystem:
         self.cfg = cfg
         inv_s2 = trk.octave_inv_sigma2(cfg.orb)
 
-        closer = reloc = atl = None
-        if vocab is not None:
-            closer = lc_mod.LoopCloser(
-                vocab, s.cam1, map_cfg.max_keyframes, inv_s2,
-                lc_mod.LoopConfig(fix_scale=not sensor.is_monocular))
-            reloc = rl_mod.Relocalizer(vocab, lambda: closer.db)
-            atl = atlas_mod.Atlas(
-                map_cfg, vocab, s.cam1, inv_s2,
-                atlas_mod.AtlasConfig(fix_scale=not sensor.is_monocular))
-        self.loop_closer = closer
-        self.relocalizer = reloc
-        self.atlas = atl
-
         # two-camera fisheye rig (KannalaBrandt8 stereo): keep both camera
         # models + T_c1_c2; bf := baseline * fx for depth thresholds
         # (reference: Settings::readCamera2 keeps Tlr and computes mBf,
@@ -114,6 +101,22 @@ class SLAMSystem:
             rig = (s.cam2, jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
             if not s.bf:
                 s.bf = float(np.linalg.norm(T[:3, 3])) * float(s.cam1.fx)
+
+        closer = reloc = atl = None
+        if vocab is not None:
+            closer = lc_mod.LoopCloser(
+                vocab, s.cam1, map_cfg.max_keyframes, inv_s2,
+                lc_mod.LoopConfig(fix_scale=not sensor.is_monocular),
+                bf=(s.bf or 0.0) if (sensor.is_stereo or sensor.is_rgbd)
+                else 0.0,
+                n_levels=cfg.orb.n_levels, scale=cfg.orb.scale)
+            reloc = rl_mod.Relocalizer(vocab, lambda: closer.db)
+            atl = atlas_mod.Atlas(
+                map_cfg, vocab, s.cam1, inv_s2,
+                atlas_mod.AtlasConfig(fix_scale=not sensor.is_monocular))
+        self.loop_closer = closer
+        self.relocalizer = reloc
+        self.atlas = atl
 
         if sensor == Sensor.IMU_STEREO or sensor == Sensor.IMU_RGBD:
             T_bc = s.T_bc if s.T_bc is not None else np.eye(4, dtype=np.float32)
