@@ -42,9 +42,13 @@ from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
 class LoopConfig(NamedTuple):
     min_bow_matches: int = 20      # reference nBoWMatches (:581)
     min_sim3_inliers: int = 20     # reference nSim3Inliers
+    min_refine_inliers: int = 20   # post-OptimizeSim3 gate (nProjOptMatches
+                                   # spirit, src/LoopClosing.cc:785-800)
     min_gap_kfs: int = 10          # don't match against recent keyframes
     min_score: float = 0.03        # BoW score floor
     n_candidates: int = 3          # DetectNBestCandidates(3)
+    n_consistency: int = 3         # consecutive-KF temporal gate (reference:
+                                   # mnLoopNumCoincidences >= 3, :374-464)
     n_hyp: int = 256               # RANSAC hypotheses (batched)
     fix_scale: bool = True         # stereo/RGBD/inertial: no scale drift
     max_edges: int = 2048
@@ -109,13 +113,41 @@ def verify_candidate(
         key, pts1, pts2, matched, cam, cam, s2_k, s2_c,
         n_hyp=n_hyp, fix_scale=fix_scale,
     )
-    return n_matches, sim
+    # Gauss-Newton refinement between RANSAC and acceptance (reference:
+    # OptimizeSim3 at src/LoopClosing.cc:767, impl src/Optimizer.cc:2115)
+    refined = sim3_ops.sim3_refine(
+        sim.R, sim.t, sim.s, pts1, pts2, matched & sim.inliers,
+        cam, cam, s2_k, s2_c, fix_scale=fix_scale,
+    )
+    return n_matches, sim.n_inliers, refined
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("n_best",))
+def detect_candidates(
+    db: voc.KeyFrameDatabase,
+    state: ms.MapState,
+    hist, kf_id, min_gap, min_score,
+    n_best: int,
+):
+    """Device-side candidate retrieval: covisibility-group accumulated BoW
+    scores with covisible/recency/invalid exclusion — ONE program, one small
+    host pull (reference: DetectNBestCandidates src/KeyFrameDatabase.cc:
+    604-720; exclusion of the query's covisibles at :620-641)."""
+    cov = ms.covisibility(state)
+    K = cov.shape[0]
+    ids = jnp.arange(K, dtype=jnp.int32)
+    exclude = (cov[kf_id] > 0) | (ids > kf_id - min_gap) | ~state.kf_valid
+    cand_ids, scores = voc.db_query_grouped(
+        db, hist, cov.astype(jnp.float32), exclude, min_score, n_best=n_best)
+    return cand_ids, scores
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n_levels", "scale"))
 def apply_correction(
     state: ms.MapState,
     R_new, t_new, s_new,     # (K,3,3),(K,3),(K,) corrected Sim3 world->cam
+    n_levels: int = 8, scale: float = 1.2,
 ):
     """Write corrected keyframe poses and re-express every landmark through
     its anchor keyframe (reference: CorrectLoop src/LoopClosing.cc:1045-1100
@@ -148,7 +180,7 @@ def apply_correction(
         lm_pos=lm_pos,
         epoch=state.epoch + 1,
     )
-    return ms.update_landmark_stats(state)
+    return ms.update_landmark_stats(state, n_levels, scale)
 
 
 class LoopResult(NamedTuple):
@@ -181,11 +213,24 @@ class LoopCloser:
         self.key = jax.random.PRNGKey(7)
         self.loop_edges = []   # (i_cand, j_cur, (R, t, s)) accepted loops
         self.n_corrections = 0
+        # temporal-consistency chain (reference: mnLoopNumCoincidences over
+        # consecutive keyframes, src/LoopClosing.cc:374-464)
+        self._pending_group = None   # set of KF slots around the candidate
+        self._pending_count = 0
 
     def reset(self):
         """Clear the database (active map was stashed or reset)."""
         K, W = self.db.hist.shape
         self.db = voc.KeyFrameDatabase.empty(K, W)
+
+    def grow(self, max_kf: int):
+        """Grow the histogram database to a bigger keyframe tier."""
+        K, W = self.db.hist.shape
+        if max_kf <= K:
+            return
+        h = np.zeros((max_kf, W), np.float32)
+        h[:K] = np.asarray(self.db.hist)
+        self.db = voc.KeyFrameDatabase(jnp.asarray(h))
 
     def rebuild_after_merge(self, old_hists: np.ndarray, kf_off: int,
                             n_cur: int):
@@ -204,44 +249,74 @@ class LoopCloser:
         self.db = voc.db_add(self.db, jnp.int32(kf_id), hist)
         return hist
 
-    def detect(self, state: ms.MapState, kf_id: int, hist) -> Optional[int]:
-        """BoW retrieval with covisibility + recency exclusion
-        (reference: DetectNBestCandidates; covisible exclusion at
-        src/KeyFrameDatabase.cc:620-641)."""
+    def detect(self, state: ms.MapState, kf_id: int, hist):
+        """BoW retrieval — one device program, one small pull (reference:
+        DetectNBestCandidates with covisibility-group score accumulation,
+        src/KeyFrameDatabase.cc:604-720)."""
         cfg = self.cfg
-        K = state.kf_obs.shape[0]
-        cov_row = np.asarray(ms.covisibility(state)[kf_id])
-        exclude = cov_row > 0
-        ids = np.arange(K)
-        exclude |= ids > (kf_id - cfg.min_gap_kfs)
-        exclude |= ~np.asarray(state.kf_valid)
-        cand_ids, scores = voc.db_query(
-            self.db, hist, jnp.asarray(exclude), jnp.float32(cfg.min_score),
-            n_best=cfg.n_candidates,
+        cand_ids, _ = detect_candidates(
+            self.db, state, hist, jnp.int32(kf_id),
+            jnp.int32(cfg.min_gap_kfs), jnp.float32(cfg.min_score),
+            cfg.n_candidates,
         )
-        cand_ids = np.asarray(cand_ids)
-        return [int(i) for i in cand_ids if i >= 0]
+        return [int(i) for i in np.asarray(cand_ids) if i >= 0]
 
     def on_keyframe(self, state: ms.MapState, kf_id: int, n_kf: int,
                     fixed_extra: Optional[int] = None):
-        """Full loop pipeline for one new keyframe. Returns (state, result)."""
+        """Full loop pipeline for one new keyframe. Returns (state, result).
+
+        A correction only fires after the SAME map region has been detected
+        and geometrically verified on `n_consistency` consecutive keyframes
+        (reference: NewDetectCommonRegions' coincidence counters,
+        src/LoopClosing.cc:374-464) — a single aliased-texture hit cannot
+        rewrite the map."""
         cfg = self.cfg
         hist = self.add_keyframe(state, kf_id)
         cands = self.detect(state, kf_id, hist)
+        hit = None
         for cand in cands:
             self.key, sub = jax.random.split(self.key)
-            n_m, sim = verify_candidate(
+            n_m, n_ransac, sim = verify_candidate(
                 sub, state, jnp.int32(kf_id), jnp.int32(cand), self.cam,
                 self.inv_sigma2_oct, cfg.n_hyp, cfg.fix_scale,
             )
-            n_m = int(n_m)
-            n_inl = int(sim.n_inliers)
-            if n_m < cfg.min_bow_matches or n_inl < cfg.min_sim3_inliers:
+            # ONE pull for all three gate scalars
+            gates = np.asarray(jnp.stack(
+                [n_m, n_ransac, sim.n_inliers]))
+            n_m, n_ransac, n_ref = (int(x) for x in gates)
+            if (n_m < cfg.min_bow_matches
+                    or n_ransac < cfg.min_sim3_inliers
+                    or n_ref < cfg.min_refine_inliers):
                 continue
-            state = self._correct(state, kf_id, cand, sim, n_kf)
-            self.n_corrections += 1
-            return state, LoopResult(cand, n_m, n_inl, True)
-        return state, None
+            hit = (cand, n_m, n_ref, sim)
+            break
+        if hit is None:
+            self._pending_group = None
+            self._pending_count = 0
+            return state, None
+        cand, n_m, n_ref, sim = hit
+        group = self._covisible_group(state, cand)
+        if (self._pending_group is not None
+                and self._pending_group & group):
+            self._pending_count += 1
+        else:
+            self._pending_count = 1
+        self._pending_group = group
+        if self._pending_count < cfg.n_consistency:
+            return state, LoopResult(cand, n_m, n_ref, False)
+        self._pending_group = None
+        self._pending_count = 0
+        state = self._correct(state, kf_id, cand, sim, n_kf)
+        self.n_corrections += 1
+        return state, LoopResult(cand, n_m, n_ref, True)
+
+    def _covisible_group(self, state: ms.MapState, cand: int):
+        """Candidate + its covisible keyframes (the reference's spCandidate
+        group used for the coincidence check)."""
+        row = np.asarray(ms.covisibility(state)[cand])
+        group = {int(i) for i in np.nonzero(row >= 15)[0]}
+        group.add(int(cand))
+        return group
 
     def _correct(self, state: ms.MapState, kf_id: int, cand: int,
                  sim: sim3_ops.Sim3Result, n_kf: int):
@@ -271,7 +346,8 @@ class LoopCloser:
             state.kf_R, state.kf_t, jnp.ones(K), jnp.asarray(fixed), edges,
             pg.PoseGraphConfig(n_iters=cfg.pg_iters, fix_scale=cfg.fix_scale),
         )
-        state = apply_correction(state, R, t, s)
+        state = apply_correction(state, R, t, s, n_levels=self.n_levels,
+                                 scale=self.scale)
         # global BA after the essential-graph correction (reference:
         # CorrectLoop spawns RunGlobalBundleAdjustment when the map has <200
         # keyframes, src/LoopClosing.cc:1199-1207; our matrix-free CG Schur

@@ -179,12 +179,13 @@ class MonocularTracker(trk.StereoTracker):
             res.points, res.good, self.cam, self.cfg,
         )
         self.n_kf = 2
+        self.kf_order = [0, 1]
         self.n_lm = int(n_lm)
         # full BA over the initial pair (reference runs GlobalBA(20 it))
         adj = jnp.asarray(
             np.concatenate([[1], np.full(self.cfg.ba_window - 1, -1)]).astype(np.int32))
         fixed = jnp.asarray(
-            np.concatenate([[0], np.full(self.cfg.map.max_keyframes - 1, -1)]).astype(np.int32))
+            np.concatenate([[0], np.full(self.cfg.ba_anchors - 1, -1)]).astype(np.int32))
         self.state = trk.local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
         self.R = self.state.kf_R[1]
         self.t = self.state.kf_t[1]
@@ -194,6 +195,7 @@ class MonocularTracker(trk.StereoTracker):
         self.frames_since_kf = 0
         self.ref_inliers = self.n_lm
         self.ref_frame = None
+        self._refresh_ref_pose(1)
         return True
 
     def _need_keyframe(self, frame, cur_obs, n_inliers):

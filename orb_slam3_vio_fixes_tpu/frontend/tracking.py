@@ -51,6 +51,11 @@ class TrackerConfig(NamedTuple):
     kf_inlier_ratio: float = 0.75  # c2: inliers < ratio * ref (stereo 0.75)
     max_frames_between_kf: int = 20
     new_lm_budget: int = 512       # max landmarks created per keyframe
+    kf_cull_every: int = 3         # run KeyFrameCulling every N keyframes
+    kf_cull_max: int = 4           # max keyframes excised per culling round
+    enable_kf_culling: bool = True
+    enable_growth: bool = True     # capacity-tier doubling on overflow
+    ba_anchors: int = 16           # fixed observer keyframes in local BA
 
 
 def octave_inv_sigma2(cfg: orb.ORBConfig) -> jax.Array:
@@ -148,6 +153,61 @@ def track_step(
         n_m0 < 20, wide, lambda _: (cur_obs0, n_m0), None)
     R1, t1, cur_obs, n_inl = pose_opt_from_obs(
         state, R_pred, t_pred, frame, cur_obs, cam, bf, cfg)
+    R2, t2, cur_obs, n_inl2 = track_local_map(
+        state, R1, t1, frame, cur_obs, window_kfs, cam, bf, th_local, cfg)
+    baseline = bf / cam.fx
+    close = ((frame.depth > 0)
+             & (frame.depth < cfg.th_depth_factor * baseline) & frame.valid)
+    tracked = cur_obs >= 0
+    packed = jnp.concatenate([
+        R2.reshape(-1), t2,
+        jnp.stack([
+            n_m.astype(jnp.float32), n_inl2.astype(jnp.float32),
+            jnp.sum(close & tracked).astype(jnp.float32),
+            jnp.sum(close & ~tracked).astype(jnp.float32),
+        ]),
+    ])
+    return R2, t2, cur_obs, packed
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_reference_kf(
+    state: ms.MapState,
+    ref_kf,                 # scalar int32 — reference keyframe slot
+    R_init, t_init,
+    frame: FrameData,
+    window_kfs,
+    cam: Camera, bf,
+    th_local,
+    cfg: TrackerConfig,
+):
+    """Fallback tracking against the reference keyframe: WINDOWLESS mutual
+    descriptor matching of the frame against the keyframe's landmark-bound
+    features, then pose optimization from the last pose (reference:
+    TrackReferenceKeyFrame src/Tracking.cc:2720-2779 — SearchByBoW has no
+    pixel search radius, so it survives image motion the motion-model
+    window cannot).
+
+    Returns (R, t, cur_obs, packed) like track_step."""
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    k = jnp.clip(ref_kf, 0, K - 1)
+    obs = state.kf_obs[k]
+    lids = jnp.clip(obs, 0, L - 1)
+    has = (obs >= 0) & state.lm_valid[lids] & state.kf_feat_valid[k]
+    res = matching.match_descriptors(
+        state.kf_desc[k], has, frame.desc, frame.valid,
+        ratio=0.7, max_dist=matching.TH_LOW, mutual=True,
+    )
+    matched = res.idx >= 0
+    ok = matching.rotation_consistency(
+        state.kf_angle[k], frame.angle, res.idx, matched)
+    tgt = jnp.where(ok, jnp.clip(res.idx, 0, N - 1), N)
+    cur_obs = jnp.full(N + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(ok, obs, -1))[:N]
+    n_m = jnp.sum(ok.astype(jnp.int32))
+    R1, t1, cur_obs, _ = pose_opt_from_obs(
+        state, R_init, t_init, frame, cur_obs, cam, bf, cfg)
     R2, t2, cur_obs, n_inl2 = track_local_map(
         state, R1, t1, frame, cur_obs, window_kfs, cam, bf, th_local, cfg)
     baseline = bf / cam.fx
@@ -318,6 +378,43 @@ def create_keyframe(
     return state, jnp.sum(is_new.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def select_ba_window(
+    state: ms.MapState,
+    cur,            # scalar int32 — the newest keyframe slot
+    first,          # scalar int32 — the map's first live keyframe (gauge)
+    cfg: TrackerConfig,
+):
+    """Covisibility-based local-BA window (reference: LocalBundleAdjustment
+    optimizes the covisible neighborhood of the new keyframe and fixes its
+    observers, src/Optimizer.cc:1116-1195 — NOT a recency window; after a
+    revisit the covisible keyframes are the loop-side ones, precisely when
+    BA matters most).
+
+    Returns (adj (ba_window,), fixed (ba_anchors,)) keyframe ids, -1-padded.
+    The fixed set is BOUNDED (the round-1 design fixed ALL older keyframes,
+    which at the 256-KF tier allocated a 17 GB factor table — the inertial
+    reference caps observers at 200 for the same reason,
+    src/Optimizer.cc:2481)."""
+    K = state.kf_obs.shape[0]
+    cov = ms.covisibility(state).astype(jnp.float32)
+    valid = state.kf_valid
+    row = jnp.where(valid, cov[cur], -1.0)
+    row = row.at[cur].set(-1.0).at[first].set(-1.0)
+    top_s, top_i = jax.lax.top_k(row, cfg.ba_window - 1)
+    adj = jnp.concatenate([
+        cur[None].astype(jnp.int32),
+        jnp.where(top_s > 0, top_i, -1).astype(jnp.int32)])
+    adj_mask = jnp.zeros(K, bool).at[jnp.clip(adj, 0, K - 1)].max(adj >= 0)
+    fscore = cov @ adj_mask.astype(jnp.float32)
+    fscore = jnp.where(valid & ~adj_mask, fscore, -1.0)
+    fscore = fscore.at[first].set(
+        jnp.where(adj_mask[first], -1.0, jnp.inf))  # gauge anchor
+    fs, fi = jax.lax.top_k(fscore, cfg.ba_anchors)
+    fixed = jnp.where(fs > 0, fi, -1).astype(jnp.int32)
+    return adj, fixed
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def local_ba(
     state: ms.MapState,
@@ -419,8 +516,9 @@ class StereoTracker:
         self.localization_only = False   # reference: ActivateLocalizationMode
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
-        self.n_kf = 0
+        self.n_kf = 0   # slot allocation cursor (monotonic per map)
         self.n_lm = 0
+        self.kf_order = []  # temporal order of LIVE keyframe slots
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
         self.vel = None  # (dR, dt) of T_cw_cur @ T_wc_prev
@@ -430,34 +528,30 @@ class StereoTracker:
         self.ref_inliers = 1
         self.last_n_inliers = 0
         self._frame_stats = None  # packed per-frame decision scalars
-        self.trajectory = []  # (ts, R_cw, t_cw) per frame
+        # Loop-consistent trajectory log (reference: Tracking stores each
+        # frame pose RELATIVE to its reference keyframe, src/Tracking.cc:
+        # 2300-2319, and System::SaveTrajectoryEuRoC recovers the absolute
+        # trajectory through the loop/GBA-corrected keyframe poses at save
+        # time, src/System.cc:608-662). Entries are mutable lists
+        # [ts, ref_kf_slot, R_cr, t_cr]; ref_kf_slot == -1 means the pose is
+        # stored absolute (pre-init / after the owning map was stashed).
+        self.traj = []
+        self.ref_kf = -1                 # current reference keyframe slot
+        self._ref_pose = (np.eye(3), np.zeros(3))  # T_rw of ref at track time
 
     # -- keyframe ids are dense [0, n_kf) --
 
-    def _window_ids(self):
-        """Adjustable window = most recent keyframes; fixed set = ALL older
-        keyframes (they are the anchoring observers of shared landmarks —
-        reference: LocalBundleAdjustment's lFixedCameras, the keyframes that
-        see local points but are not optimized, src/Optimizer.cc:1166-1195)."""
-        cfg = self.cfg
-        adj = np.full(cfg.ba_window, -1, np.int32)
-        fixed = np.full(cfg.map.max_keyframes, -1, np.int32)
-        n_adj = min(self.n_kf, cfg.ba_window)
-        for i in range(n_adj):
-            adj[i] = self.n_kf - 1 - i
-        for i in range(self.n_kf - n_adj):
-            fixed[i] = self.n_kf - n_adj - 1 - i
-        if self.n_kf <= cfg.ba_window and n_adj == self.n_kf:
-            # anchor the first keyframe to pin the gauge
-            adj[n_adj - 1] = -1
-            fixed[0] = 0
-        return jnp.asarray(adj), jnp.asarray(fixed)
+    def _ba_window(self, cur: int):
+        """Device-side covisibility window selection for local BA."""
+        return select_ba_window(
+            self.state, jnp.int32(cur), jnp.int32(self.kf_order[0]), self.cfg)
 
     def _local_window(self):
         w = self.cfg.ba_window + self.cfg.ba_fixed
         ids = np.full(w, -1, np.int32)
-        for i in range(min(self.n_kf, w)):
-            ids[i] = self.n_kf - 1 - i
+        recent = self.kf_order[-w:][::-1]
+        for i, k in enumerate(recent):
+            ids[i] = k
         return jnp.asarray(ids)
 
     def _build_stereo(self, img_l, img_r, ts: float):
@@ -549,6 +643,19 @@ class StereoTracker:
         n_inl2_i = int(self._frame_stats[1])
         self.last_n_inliers = n_inl2_i
 
+        if n_inl2_i < cfg.min_kf_inliers and self.ref_kf >= 0:
+            # motion-model tracking failed — fall back to windowless
+            # reference-keyframe matching (reference: Track() falls back to
+            # TrackReferenceKeyFrame, src/Tracking.cc:1953-1955)
+            R2, t2, cur_obs, packed = track_reference_kf(
+                self.state, jnp.int32(self.ref_kf), R_pred, t_pred, frame,
+                window, self.cam, self.bf, jnp.float32(1.0), cfg,
+            )
+            packed = np.asarray(packed)
+            self._frame_stats = packed[12:].astype(np.int64)
+            n_inl2_i = int(self._frame_stats[1])
+            self.last_n_inliers = n_inl2_i
+
         if n_inl2_i < cfg.min_kf_inliers:
             self.track_state = TrackState.RECENTLY_LOST
             # keep predicted pose; do not update velocity
@@ -572,13 +679,73 @@ class StereoTracker:
         # record from the already-fetched packed vector (no extra sync)
         R_np = packed[:9].reshape(3, 3).astype(np.float64)
         t_np = packed[9:12].astype(np.float64)
-        self.trajectory.append((float(ts), R_np, t_np))
+        self._record_np(ts, R_np, t_np)
         return R_np, t_np, self.track_state
 
     # -- internals --
 
     def _record(self, ts):
-        self.trajectory.append((float(ts), np.array(self.R), np.array(self.t)))
+        self._record_np(ts, np.asarray(self.R, np.float64),
+                        np.asarray(self.t, np.float64))
+
+    def _record_np(self, ts, R_cw: np.ndarray, t_cw: np.ndarray):
+        """Log one frame pose relative to the current reference keyframe
+        (T_cr = T_cw * T_wr); absolute when no keyframe exists yet."""
+        if self.ref_kf >= 0:
+            R_rw, t_rw = self._ref_pose
+            R_cr = R_cw @ R_rw.T
+            t_cr = t_cw - R_cr @ t_rw
+            self.traj.append([float(ts), self.ref_kf, R_cr, t_cr])
+        else:
+            self.traj.append([float(ts), -1, np.array(R_cw), np.array(t_cw)])
+
+    @property
+    def trajectory(self):
+        """Per-frame (ts, R_cw, t_cw) recovered through the CURRENT keyframe
+        poses — loop closures / GBA retroactively correct the whole exported
+        trajectory (reference: System::SaveTrajectoryEuRoC
+        src/System.cc:608-662)."""
+        if not self.traj:
+            return []
+        kf_R = np.asarray(self.state.kf_R, np.float64)
+        kf_t = np.asarray(self.state.kf_t, np.float64)
+        out = []
+        for ts, ref, Rr, tr in self.traj:
+            if ref < 0:
+                out.append((ts, Rr, tr))
+            else:
+                out.append((ts, Rr @ kf_R[ref], Rr @ kf_t[ref] + tr))
+        return out
+
+    def _freeze_trajectory(self):
+        """Convert every live (keyframe-relative) entry to an absolute pose —
+        called before the active map (and its keyframe slots) goes away
+        (stash / reset). The reference keeps per-map frame lists instead;
+        freezing preserves the corrected-so-far trajectory the same way."""
+        if not any(e[1] >= 0 for e in self.traj):
+            return
+        kf_R = np.asarray(self.state.kf_R, np.float64)
+        kf_t = np.asarray(self.state.kf_t, np.float64)
+        for e in self.traj:
+            ts, ref, Rr, tr = e
+            if ref >= 0:
+                e[1] = -1
+                e[2] = Rr @ kf_R[ref]
+                e[3] = Rr @ kf_t[ref] + tr
+        self.ref_kf = -1
+
+    def _refresh_ref_pose(self, kf_id: int, pose_np=None):
+        """Cache T_rw of the reference keyframe for relative recording.
+        Called whenever keyframe poses may have been rewritten (insert, BA,
+        loop correction, merge, IMU init)."""
+        self.ref_kf = int(kf_id)
+        if pose_np is not None:
+            self._ref_pose = pose_np
+        else:
+            self._ref_pose = (
+                np.asarray(self.state.kf_R[kf_id], np.float64),
+                np.asarray(self.state.kf_t[kf_id], np.float64),
+            )
 
     def _set_frame(self, frame, R, t, cur_obs):
         self.R, self.t = R, t
@@ -599,6 +766,7 @@ class StereoTracker:
             jnp.int32(-1), self.cam, self.bf, self.cfg, spawn_all=True,
         )
         self.n_kf = 1
+        self.kf_order = [0]
         self.n_lm = int(n_created)
         # bind the frame to the newly created landmarks
         self.prev_obs = np.asarray(self.state.kf_obs[0])
@@ -608,6 +776,7 @@ class StereoTracker:
         self.track_state = TrackState.OK
         self.frames_since_kf = 0
         self.ref_inliers = self.n_lm
+        self._refresh_ref_pose(0, (np.eye(3), np.zeros(3)))
         return True
 
     def _need_keyframe(self, frame, cur_obs, n_inliers):
@@ -644,25 +813,106 @@ class StereoTracker:
             width=cfg.width, height=cfg.height,
         )
 
+    def _maybe_grow(self):
+        """Capacity-tier doubling when keyframe or landmark slots run low
+        (SURVEY §7 hard-part #1: dynamic growth on a static-shape machine =
+        discrete recompile tiers; the jitted kernels recompile once per tier).
+        """
+        if not self.cfg.enable_growth:
+            return
+        mc = self.cfg.map
+        new_mc = mc
+        if self.n_kf >= mc.max_keyframes - 2:
+            new_mc = new_mc._replace(max_keyframes=2 * mc.max_keyframes)
+        if self.n_lm >= mc.max_landmarks - 3 * self.cfg.new_lm_budget:
+            new_mc = new_mc._replace(max_landmarks=2 * mc.max_landmarks)
+        if new_mc is mc:
+            return
+        self.state = ms.grow_map(self.state, mc, new_mc)
+        self.cfg = self.cfg._replace(map=new_mc)
+        if self.loop_closer is not None:
+            self.loop_closer.grow(new_mc.max_keyframes)
+        if self.atlas is not None:
+            self.atlas.map_cfg = new_mc
+
+    def _cull_keyframes(self):
+        """Wire KeyFrameCulling into the mapping stage (reference:
+        LocalMapping::KeyFrameCulling src/LocalMapping.cc:902-1054 +
+        KeyFrame::SetBadFlag excision src/KeyFrame.cc:573-679). Protected:
+        the map's first keyframe (gauge / init KF can't die), the local BA
+        window, and the current reference keyframe. Frames of the trajectory
+        log that referenced a culled keyframe are re-based onto its nearest
+        live predecessor (the reference stores mTcp for the same purpose)."""
+        cfg = self.cfg
+        protect = np.full(cfg.ba_window + cfg.ba_fixed + 2, -1, np.int32)
+        prot_list = self.kf_order[-(cfg.ba_window + cfg.ba_fixed):] + [
+            self.kf_order[0], self.ref_kf]
+        for i, k in enumerate(prot_list):
+            protect[i] = k
+        mask = np.asarray(lm_mod.redundant_keyframes(
+            self.state, jnp.asarray(protect), self._lm_cfg()))
+        cull = [k for k in self.kf_order if mask[k]][: cfg.kf_cull_max]
+        if not cull:
+            return
+        # nearest live predecessor of each culled slot (for trajectory rebase)
+        pos = {k: i for i, k in enumerate(self.kf_order)}
+        parents = []
+        for k in cull:
+            i = pos[k] - 1
+            order = self.kf_order
+            while i >= 0 and order[i] in cull:
+                i -= 1
+            parents.append(order[i] if i >= 0 else -1)
+        ids = jnp.asarray(np.asarray(cull + parents, np.int32))
+        poses = np.asarray(jnp.concatenate([
+            self.state.kf_R[ids].reshape(-1), self.state.kf_t[ids].reshape(-1)
+        ]))
+        n2 = len(cull) * 2
+        Rs = poses[: n2 * 9].reshape(n2, 3, 3).astype(np.float64)
+        ts_ = poses[n2 * 9:].reshape(n2, 3).astype(np.float64)
+        rebase = {}
+        for i, (k, p) in enumerate(zip(cull, parents)):
+            if p < 0:
+                continue
+            R_k, t_k = Rs[i], ts_[i]
+            R_p, t_p = Rs[len(cull) + i], ts_[len(cull) + i]
+            R_kp = R_k @ R_p.T
+            t_kp = t_k - R_kp @ t_p
+            rebase[k] = (p, R_kp, t_kp)
+        for e in self.traj:
+            if e[1] in rebase:
+                p, R_kp, t_kp = rebase[e[1]]
+                e[2], e[3] = e[2] @ R_kp, e[2] @ t_kp + e[3]
+                e[1] = p
+        pad = np.full(cfg.kf_cull_max, -1, np.int32)
+        pad[: len(cull)] = cull
+        self.state = ms.excise_keyframes(self.state, jnp.asarray(pad))
+        culled_set = set(cull)
+        self.kf_order = [k for k in self.kf_order if k not in culled_set]
+
     def _insert_keyframe(self, frame, R, t, cur_obs):
+        self._maybe_grow()
         kf_id = self.n_kf
+        prev_kf = self.kf_order[-1] if self.kf_order else -1
         # landmark counter flows as a DEVICE scalar through the mapping
         # stages (create -> triangulate); one host pull at the end instead of
         # one per stage — each sync is a full RTT on a remote-TPU link
         n_lm_dev = jnp.int32(self.n_lm)
         self.state, n_created = create_keyframe(
             self.state, jnp.int32(kf_id), n_lm_dev, frame, R, t,
-            cur_obs, jnp.int32(kf_id - 1), self.cam, self.bf, self.cfg,
+            cur_obs, jnp.int32(prev_kf), self.cam, self.bf, self.cfg,
         )
         n_lm_dev = n_lm_dev + n_created
         self.n_kf += 1
+        self.kf_order.append(kf_id)
         self.frames_since_kf = 0
         # synchronous local-mapping stages, reference pipeline order
         # (src/LocalMapping.cc:83-250): triangulate -> fuse -> local BA -> cull
         lcfg = self._lm_cfg()
         neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
-        for i in range(min(kf_id, lcfg.n_neighbors)):
-            neighbors[i] = kf_id - 1 - i
+        prev_live = self.kf_order[:-1][::-1][: lcfg.n_neighbors]
+        for i, k in enumerate(prev_live):
+            neighbors[i] = k
         self.state, n_tri = lm_mod.create_new_landmarks(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors),
             n_lm_dev, self.cam, self.bf, lcfg,
@@ -671,27 +921,58 @@ class StereoTracker:
         self.state = lm_mod.fuse_duplicates(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
         )
-        adj, fixed = self._window_ids()
+        adj, fixed = self._ba_window(kf_id)
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
         self.state = lm_mod.cull_landmarks(self.state, jnp.int32(self.n_kf), lcfg)
+        if (self.cfg.enable_kf_culling
+                and kf_id % self.cfg.kf_cull_every == 0
+                and len(self.kf_order) > self.cfg.ba_window + 2):
+            self._cull_keyframes()
         # loop closing (reference: LoopClosing::InsertKeyFrame queue,
         # src/LocalMapping.cc:250 — synchronous call here, same kernels)
         if self.loop_closer is not None:
             self.state, loop_res = self.loop_closer.on_keyframe(
                 self.state, kf_id, self.n_kf)
             if loop_res is not None and loop_res.corrected:
+                # SearchAndFuse across the loop seam: project the loop-side
+                # landmarks into the corrected current keyframe and merge
+                # duplicates (reference: src/LoopClosing.cc:1140,2115), then
+                # a welding local BA over the seam neighborhood
+                lcfg2 = self._lm_cfg()
+                nb = np.full(lcfg2.n_neighbors, -1, np.int32)
+                cand = loop_res.cand_id
+                pos = {k: i for i, k in enumerate(self.kf_order)}
+                ci = pos.get(cand, 0)
+                seam = self.kf_order[max(0, ci - lcfg2.n_neighbors // 2):
+                                     ci + lcfg2.n_neighbors -
+                                     lcfg2.n_neighbors // 2]
+                for i, k in enumerate(seam[: lcfg2.n_neighbors]):
+                    nb[i] = k
+                self.state = lm_mod.fuse_duplicates(
+                    self.state, jnp.int32(kf_id), jnp.asarray(nb), self.cam,
+                    lcfg2)
+                adj2, fixed2 = self._ba_window(kf_id)
+                self.state = local_ba(self.state, adj2, fixed2, self.cam,
+                                      self.bf, self.cfg)
                 # re-base the tracker onto the corrected keyframe pose and
                 # drop the (now invalid) velocity model, like the reference
                 # does after CorrectLoop
                 self.R = self.state.kf_R[kf_id]
                 self.t = self.state.kf_t[kf_id]
                 self.vel = None
-        # ONE pull for the keyframe's bookkeeping scalars
-        counts = np.asarray(jnp.stack([
-            n_lm_dev, jnp.sum((self.state.kf_obs[kf_id] >= 0).astype(jnp.int32))
+        # ONE pull for the keyframe's bookkeeping scalars + reference pose
+        counts = np.asarray(jnp.concatenate([
+            jnp.stack([
+                n_lm_dev.astype(jnp.float32),
+                jnp.sum((self.state.kf_obs[kf_id] >= 0)).astype(jnp.float32)]),
+            self.state.kf_R[kf_id].reshape(-1),
+            self.state.kf_t[kf_id],
         ]))
         self.n_lm = int(counts[0])
         self.ref_inliers = max(int(counts[1]), 1)
+        self._refresh_ref_pose(kf_id, (
+            counts[2:11].reshape(3, 3).astype(np.float64),
+            counts[11:14].astype(np.float64)))
         # map merge against stored Atlas maps (reference: LoopClosing's merge
         # branch, src/LoopClosing.cc:120-183)
         if self.atlas is not None and self.atlas.stored:
@@ -711,9 +992,13 @@ class StereoTracker:
         hists = (np.asarray(self.loop_closer.db.hist)
                  if self.loop_closer is not None
                  else np.zeros((self.cfg.map.max_keyframes, 1), np.float32))
+        # the stashed map's keyframe slots are about to be reused — convert
+        # its frames' relative poses to absolutes first
+        self._freeze_trajectory()
         self.atlas.stash_active(self.state, self.n_kf, self.n_lm, hists)
         self.state = ms.empty(self.cfg.map)
         self.n_kf = 0
+        self.kf_order = []
         self.n_lm = 0
         self.track_state = TrackState.NOT_INITIALIZED
         self.vel = None
@@ -735,7 +1020,15 @@ class StereoTracker:
         self.state = merged
         self.n_kf = n_kf
         self.n_lm = n_lm
+        valid_np = np.asarray(merged.kf_valid[:n_kf])
+        self.kf_order = [k for k in range(n_kf) if valid_np[k]]
         new_kf = kf_off + kf_id
+        # the active map's keyframes moved to slots [kf_off, kf_off + n_cur);
+        # live trajectory entries follow them (and thus pick up the merge
+        # Sim3 correction on export)
+        for e in self.traj:
+            if e[1] >= 0:
+                e[1] += kf_off
         self.R = self.state.kf_R[new_kf]
         self.t = self.state.kf_t[new_kf]
         self.vel = None
@@ -756,17 +1049,16 @@ class StereoTracker:
         self.state = lm_mod.fuse_duplicates(
             self.state, jnp.int32(new_kf), jnp.asarray(neighbors), self.cam,
             lcfg)
-        adj, fixed = self._window_ids()
+        adj, fixed = self._ba_window(new_kf)
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf,
                               self.cfg)
+        self._refresh_ref_pose(new_kf)
         return new_kf
 
     # -- output --
 
     def keyframe_trajectory(self):
-        out = []
-        for k in range(self.n_kf):
-            R = np.asarray(self.state.kf_R[k])
-            t = np.asarray(self.state.kf_t[k])
-            out.append((float(self.state.kf_ts[k]), R, t))
-        return out
+        kf_R = np.asarray(self.state.kf_R)
+        kf_t = np.asarray(self.state.kf_t)
+        kf_ts = np.asarray(self.state.kf_ts)
+        return [(float(kf_ts[k]), kf_R[k], kf_t[k]) for k in self.kf_order]

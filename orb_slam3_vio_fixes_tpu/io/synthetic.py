@@ -138,6 +138,132 @@ def orbit_trajectory(n_frames, dt=0.05, radius=0.0, speed=(0.25, 0.0, 0.0),
     return R_wc, t_wc
 
 
+def load_gt_trajectory(path: str, n_frames: int = 0, stride: int = 1):
+    """Load a reference ground-truth trajectory file (reference:
+    evaluation/Ground_truth/EuRoC_left_cam/*.txt — CSV rows of
+    `timestamp_ns, p_xyz, q_wxyz` in the left-camera frame).
+
+    Returns (ts (T,) seconds, R_wc (T,3,3), t_wc (T,3))."""
+    rows = np.loadtxt(path, delimiter=",", comments="#")
+    rows = rows[::stride]
+    if n_frames:
+        rows = rows[:n_frames]
+    ts = (rows[:, 0] - rows[0, 0]) * 1e-9
+    t_wc = rows[:, 1:4].astype(np.float32)
+    q = rows[:, 4:8]  # w, x, y, z
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R_wc = np.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], axis=1).reshape(-1, 3, 3).astype(np.float32)
+    return ts.astype(np.float64), R_wc, t_wc
+
+
+def make_world_along_trajectory(rng, R_wc, t_wc, n_points=800,
+                                depth_range=(2.5, 10.0), every=4) -> SyntheticWorld:
+    """Scatter sprites so every camera of an ARBITRARY trajectory sees
+    structure: sample random pixel rays from subsampled poses and place
+    sprites at random depths along them (how golden-dataset worlds are built
+    for GT-trajectory replay, SURVEY.md §4 implication)."""
+    n_anchor = max(1, len(R_wc) // every)
+    pts = []
+    per = max(1, n_points // n_anchor)
+    for i in range(0, len(R_wc), every):
+        d = rng.uniform(depth_range[0], depth_range[1], per)
+        # rays in a generous frustum cone around +z of the camera
+        dx = rng.uniform(-0.6, 0.6, per)
+        dy = rng.uniform(-0.45, 0.45, per)
+        rays = np.stack([dx, dy, np.ones(per)], 1)
+        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        pts.append(t_wc[i][None] + (R_wc[i] @ (rays * d[:, None]).T).T)
+    pts = np.concatenate(pts).astype(np.float32)
+    n = len(pts)
+    tex = rng.uniform(70, 250, size=(n, TEX, TEX)).astype(np.float32)
+    tex = np.repeat(np.repeat(tex[:, ::2, ::2], 2, axis=1), 2, axis=2)[:, :TEX, :TEX]
+    return SyntheticWorld(
+        points=pts,
+        sprite_size=rng.uniform(0.05, 0.14, n).astype(np.float32),
+        sprite_tex=tex,
+    )
+
+
+def render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline) -> "StereoSequence":
+    n_frames = len(R_wc)
+    imgs_l = np.zeros((n_frames, h, w), np.float32)
+    imgs_r = np.zeros((n_frames, h, w), np.float32)
+    b_off = np.array([baseline, 0.0, 0.0], np.float32)
+    for i in range(n_frames):
+        R_cw = R_wc[i].T
+        imgs_l[i] = render(world, K, R_cw, -R_cw @ t_wc[i], h, w)
+        C_r = t_wc[i] + R_wc[i] @ b_off
+        imgs_r[i] = render(world, K, R_cw, -R_cw @ C_r, h, w)
+    return StereoSequence(imgs_l, imgs_r, np.asarray(ts), np.asarray(R_wc),
+                          np.asarray(t_wc), K, baseline)
+
+
+def make_gt_stereo_sequence(
+    rng, gt_path: str, n_frames=40, stride=4, h=240, w=352, fx=260.0,
+    baseline=0.2, n_points=900, depth_range=(2.5, 10.0),
+) -> StereoSequence:
+    """Render a synthetic stereo sequence along a REAL EuRoC ground-truth
+    trajectory (reference: evaluation/Ground_truth/EuRoC_left_cam) — the
+    e2e accuracy gate the round-1 verdict asked for."""
+    ts, R_wc, t_wc = load_gt_trajectory(gt_path, n_frames=n_frames,
+                                        stride=stride)
+    world = make_world_along_trajectory(
+        rng, R_wc, t_wc, n_points=n_points, depth_range=depth_range)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    return render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)
+
+
+def loop_trajectory(n_frames, dt=0.05, radius=3.0, look="outward"):
+    """Closed circular trajectory returning exactly to the start pose — the
+    revisit scenario for loop-closing e2e tests. The camera moves on a circle
+    of `radius` looking radially outward at a surrounding sprite wall."""
+    R_wc = np.zeros((n_frames, 3, 3), np.float32)
+    t_wc = np.zeros((n_frames, 3), np.float32)
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / (n_frames - 1)
+        # camera center on the circle (XZ plane)
+        t_wc[i] = radius * np.array([np.sin(a), 0.0, -np.cos(a)], np.float32)
+        # yaw about Y so +z (optical axis) points radially outward:
+        # roty(pi - a) @ e_z = (sin a, 0, -cos a) = outward direction
+        R_wc[i] = np.asarray(
+            lie.so3_exp(jnp.asarray([0.0, np.pi - a, 0.0], jnp.float32)))
+    return R_wc, t_wc
+
+
+def make_loop_world(rng, n_points=1200, wall_radius=9.0, height=3.0,
+                    depth_jitter=2.0) -> SyntheticWorld:
+    """Sprites on a cylindrical band around the loop trajectory."""
+    a = rng.uniform(0, 2 * np.pi, n_points)
+    r = wall_radius + rng.uniform(-depth_jitter, depth_jitter, n_points)
+    pts = np.stack([
+        r * np.sin(a),
+        rng.uniform(-height, height, n_points),
+        -r * np.cos(a),
+    ], 1).astype(np.float32)
+    tex = rng.uniform(70, 250, size=(n_points, TEX, TEX)).astype(np.float32)
+    tex = np.repeat(np.repeat(tex[:, ::2, ::2], 2, axis=1), 2, axis=2)[:, :TEX, :TEX]
+    return SyntheticWorld(
+        points=pts,
+        sprite_size=rng.uniform(0.08, 0.2, n_points).astype(np.float32),
+        sprite_tex=tex,
+    )
+
+
+def make_loop_stereo_sequence(
+    rng, n_frames=80, h=240, w=352, fx=260.0, baseline=0.2, dt=0.05,
+    radius=3.0, wall_radius=9.0, n_points=1200,
+) -> StereoSequence:
+    world = make_loop_world(rng, n_points=n_points, wall_radius=wall_radius)
+    R_wc, t_wc = loop_trajectory(n_frames, dt, radius=radius)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    ts = np.arange(n_frames) * dt
+    return render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)
+
+
 class StereoInertialSequence(NamedTuple):
     imgs_l: np.ndarray
     imgs_r: np.ndarray

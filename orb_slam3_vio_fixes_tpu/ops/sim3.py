@@ -118,3 +118,80 @@ def sim3_ransac(
     inl_r = (e1r < chi2_th) & (e2r < chi2_th) & valid
     inl_r &= (p2in1r[..., 2] > 0) & (p1in2r[..., 2] > 0)
     return Sim3Result(Rr, tr, sr, inl_r, inl_r.sum())
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def sim3_refine(
+    R, t, s,               # initial Sim3 mapping pts2-frame -> pts1-frame
+    pts1, pts2,            # (N, 3) matched camera-frame points
+    valid,
+    cam1: Camera, cam2: Camera,
+    sigma2_1, sigma2_2,
+    n_iters: int = 8,
+    fix_scale: bool = False,
+    chi2_th: float = 9.21,
+    huber2: float = 10.0,
+):
+    """Gauss-Newton refinement of a Sim3 over symmetric reprojection errors
+    with Huber weighting (reference: Optimizer::OptimizeSim3
+    src/Optimizer.cc:2115 — VertexSim3Expmap + paired forward/inverse
+    EdgeSim3ProjectXYZ edges, Huber delta = sqrt(10), run between the RANSAC
+    solution and loop acceptance at src/LoopClosing.cc:767).
+
+    The 7-DoF update is a left-multiplicative perturbation
+    x -> e^l Exp(w) (s R x + t) + v, linearized by forward-mode autodiff at
+    zero. Returns a Sim3Result with re-evaluated inliers.
+    """
+    from orb_slam3_vio_fixes_tpu.utils import lie
+
+    obs1 = project(cam1, pts1)
+    obs2 = project(cam2, pts2)
+    inv_sig1 = 1.0 / jnp.sqrt(jnp.maximum(sigma2_1, 1e-9))
+    inv_sig2 = 1.0 / jnp.sqrt(jnp.maximum(sigma2_2, 1e-9))
+
+    def apply_delta(params, d):
+        R_, t_, s_ = params
+        dR = lie.so3_exp(d[:3])
+        ds = jnp.where(fix_scale, 1.0, jnp.exp(d[6]))
+        return (dR @ R_, ds * (dR @ t_) + d[3:6], ds * s_)
+
+    def residuals(params):
+        R_, t_, s_ = params
+        p2in1 = s_ * pts2 @ R_.T + t_
+        r1 = (project(cam1, p2in1) - obs1) * inv_sig1[:, None]
+        p1in2 = (1.0 / s_) * (pts1 - t_) @ R_
+        r2 = (project(cam2, p1in2) - obs2) * inv_sig2[:, None]
+        depth_ok = (p2in1[:, 2] > 1e-3) & (p1in2[:, 2] > 1e-3)
+        return r1, r2, depth_ok
+
+    def step(params, _):
+        r1, r2, depth_ok = residuals(params)
+        act = valid & depth_ok
+        # Huber IRLS weights on per-edge chi2
+        c1 = jnp.sum(r1 * r1, -1)
+        c2 = jnp.sum(r2 * r2, -1)
+        w1 = jnp.where(act, jnp.minimum(1.0, jnp.sqrt(huber2 / jnp.maximum(c1, 1e-12))), 0.0)
+        w2 = jnp.where(act, jnp.minimum(1.0, jnp.sqrt(huber2 / jnp.maximum(c2, 1e-12))), 0.0)
+
+        def f(d):
+            p = apply_delta(params, d)
+            a, b, _ = residuals(p)
+            return jnp.concatenate([a.reshape(-1), b.reshape(-1)])
+
+        d0 = jnp.zeros(7)
+        J = jax.jacfwd(f)(d0)                       # (4N, 7)
+        r = f(d0)
+        w = jnp.concatenate([
+            jnp.repeat(w1, 2), jnp.repeat(w2, 2)])
+        JtW = J.T * w[None, :]
+        H = JtW @ J + 1e-6 * jnp.eye(7)
+        g = JtW @ r
+        d = -jnp.linalg.solve(H, g)
+        return apply_delta(params, d), None
+
+    params, _ = jax.lax.scan(step, (R, t, s), None, length=n_iters)
+    R_, t_, s_ = params
+    r1, r2, depth_ok = residuals(params)
+    inl = (jnp.sum(r1 * r1, -1) < chi2_th) & (jnp.sum(r2 * r2, -1) < chi2_th)
+    inl &= valid & depth_ok
+    return Sim3Result(R_, t_, s_, inl, inl.sum())

@@ -141,11 +141,14 @@ class PipelineRunner:
                     else:
                         sysm.track_monocular(im_l, ts, imu=imu)
 
-                if self.mavlink is not None and sysm.tracker.trajectory:
-                    ts_i, R_cw, t_cw = sysm.tracker.trajectory[-1][:3]
-                    R_wc = np.asarray(R_cw).T
-                    t_wc = -R_wc @ np.asarray(t_cw)
-                    self.mavlink.publish_pose(ts_i, R_wc, t_wc)
+                if self.mavlink is not None and sysm.tracker.traj:
+                    # live pose from the tracker (reconstructing the whole
+                    # relative-pose trajectory every frame would be O(n))
+                    R_cw = np.asarray(sysm.tracker.R)
+                    t_cw = np.asarray(sysm.tracker.t)
+                    R_wc = R_cw.T
+                    t_wc = -R_wc @ t_cw
+                    self.mavlink.publish_pose(ts, R_wc, t_wc)
         finally:
             stop.set()
             dec.join(timeout=2.0)

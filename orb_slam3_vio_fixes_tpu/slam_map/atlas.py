@@ -243,6 +243,15 @@ class Atlas:
         if sm.n_kf + n_kf > self.map_cfg.max_keyframes or \
            sm.n_lm + n_lm > self.map_cfg.max_landmarks:
             return None
+        # the active map may live in a bigger capacity tier (tracker growth);
+        # pad the stored map up before the scatter-merge
+        Kd, Nd = sm.state.kf_obs.shape
+        Ld = sm.state.lm_pos.shape[0]
+        mc = self.map_cfg
+        if (Kd, Ld) != (mc.max_keyframes, mc.max_landmarks):
+            old_cfg = ms.MapConfig(Kd, Ld, Nd, mc.n_levels, mc.scale)
+            sm = sm._replace(state=ms.grow_map(sm.state, old_cfg, mc))
+            self.stored[mi] = sm
         self.key, sub = jax.random.split(self.key)
         n_m, sim = verify_cross_candidate(
             sub, state, jnp.int32(kf_id), sm.state, jnp.int32(ci), self.cam,

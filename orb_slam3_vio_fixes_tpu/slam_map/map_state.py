@@ -279,6 +279,79 @@ def update_landmark_stats(state: MapState, n_levels: int = 8,
     )
 
 
+@jax.jit
+def excise_keyframes(state: MapState, cull_ids: jax.Array) -> MapState:
+    """Remove keyframes (reference: KeyFrame::SetBadFlag
+    src/KeyFrame.cc:573-679 — graph excision + observation unbinding; the
+    spanning-tree child re-parenting is subsumed by kf_prev chain splicing
+    and the covisibility graph being recomputed from kf_obs on demand).
+
+    cull_ids: (C,) int32 keyframe slots to remove (-1 = no-op pad).
+    Landmarks anchored at a culled keyframe (lm_first_kf) are re-anchored to
+    their first remaining observer so loop corrections still move them.
+    """
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    safe = jnp.clip(cull_ids, 0, K - 1)
+    doit = cull_ids >= 0
+    kf_valid = state.kf_valid.at[safe].set(
+        jnp.where(doit, False, state.kf_valid[safe]))
+    dead_row = ~kf_valid[:, None]
+    kf_obs = jnp.where(dead_row, -1, state.kf_obs)
+    kf_feat_valid = jnp.where(dead_row, False, state.kf_feat_valid)
+
+    # splice the temporal chain: prev pointers THROUGH culled keyframes
+    # (two hops cover up to 3 consecutive culled slots per call; C is small)
+    prev = state.kf_prev
+    for _ in range(2):
+        p_ok = prev >= 0
+        p = jnp.clip(prev, 0, K - 1)
+        prev = jnp.where(p_ok & ~kf_valid[p], state.kf_prev[p], prev)
+
+    # re-anchor landmarks whose anchor died: first valid observer
+    st2 = state._replace(kf_valid=kf_valid, kf_obs=kf_obs,
+                         kf_feat_valid=kf_feat_valid)
+    obs_mat = observation_matrix(st2)                    # (K, L)
+    first_obs = jnp.argmax(obs_mat, axis=0).astype(jnp.int32)
+    has_obs = jnp.any(obs_mat, axis=0)
+    anchor = jnp.clip(state.lm_first_kf, 0, K - 1)
+    anchor_dead = (state.lm_first_kf >= 0) & ~kf_valid[anchor]
+    lm_first_kf = jnp.where(
+        anchor_dead, jnp.where(has_obs, first_obs, -1), state.lm_first_kf)
+    return st2._replace(kf_prev=prev, lm_first_kf=lm_first_kf,
+                        epoch=state.epoch + 1)
+
+
+def grow_map(state: MapState, old: MapConfig, new: MapConfig) -> MapState:
+    """Pad all arrays to a bigger capacity tier (host-side; jitted kernels
+    recompile on the new shapes). This is the capacity-doubling promised by
+    the module docstring / SURVEY §7 hard-part #1: dynamic map growth on a
+    static-shape machine = discrete recompile tiers."""
+    import numpy as np
+
+    assert new.max_keyframes >= old.max_keyframes
+    assert new.max_landmarks >= old.max_landmarks
+    assert new.max_features == old.max_features
+    tmpl = empty(new)
+    out = {}
+    for name in MapState._fields:
+        a = np.asarray(getattr(state, name))
+        t = np.asarray(getattr(tmpl, name))
+        if a.shape == t.shape:
+            out[name] = jnp.asarray(a)
+            continue
+        b = t.copy()
+        sl = tuple(slice(0, s) for s in a.shape)
+        b[sl] = a
+        # the old dead scratch slot (L_old - 1) may carry garbage writes;
+        # it is now a live slot in the bigger tier — clear it
+        if name.startswith("lm_"):
+            b[old.max_landmarks - 1] = t[old.max_landmarks - 1]
+        out[name] = jnp.asarray(b)
+    out["epoch"] = state.epoch + 1
+    return MapState(**out)
+
+
 def ba_factors_from_map(state: MapState, kf_window: jax.Array, inv_sigma2_per_octave):
     """Build ReprojFactors covering the observations of `kf_window` keyframes.
 

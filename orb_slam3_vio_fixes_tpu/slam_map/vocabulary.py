@@ -227,3 +227,43 @@ def db_query(
     top_s, top_i = jax.lax.top_k(scores, n_best)
     ok = top_s >= min_score
     return jnp.where(ok, top_i, -1), top_s
+
+
+@functools.partial(jax.jit, static_argnames=("n_best", "group_size"))
+def db_query_grouped(
+    db: KeyFrameDatabase,
+    h_query: jax.Array,
+    cov: jax.Array,        # (K, K) covisibility weights (shared-point counts)
+    exclude: jax.Array,    # (K,) bool
+    min_score: jax.Array,
+    n_best: int = 3,
+    group_size: int = 10,
+):
+    """DetectNBestCandidates with covisibility-group score accumulation
+    (reference: src/KeyFrameDatabase.cc:604-720 — each candidate's score is
+    summed over its top-10 covisible neighbors that also scored; groups are
+    ranked by accumulated score and gated at 0.75x the best group score).
+
+    Returns (ids (n_best,), acc_scores (n_best,)); ids are -1 where the
+    candidate fails min_score or the 0.75*best-group gate."""
+    K = cov.shape[0]
+    scores = l1_score(h_query, db.hist)
+    empty = jnp.sum(jnp.abs(db.hist), axis=-1) < 1e-9
+    own = jnp.where(exclude | empty, 0.0, jnp.maximum(scores, 0.0))
+    # candidate floor RELATIVE to the best hit (reference: minCommonWords =
+    # 0.8 * maxCommonWords, src/KeyFrameDatabase.cc:644-656) — without it
+    # the noise-floor similarity of every keyframe accumulates and group
+    # SIZE outranks group relevance
+    strong = own >= jnp.maximum(0.6 * jnp.max(own), min_score)
+    own_s = jnp.where(strong, own, 0.0)
+    # top-`group_size` covisibles per row as a dense mask
+    k_eff = min(group_size, K)
+    topw, _ = jax.lax.top_k(cov, k_eff)
+    thresh = jnp.maximum(topw[:, -1][:, None], 1)
+    nbmask = (cov >= thresh) & (cov > 0)
+    acc = own_s + nbmask.astype(own.dtype) @ own_s
+    acc = jnp.where(strong, acc, -1.0)
+    gate = 0.75 * jnp.max(acc)
+    acc = jnp.where(acc >= gate, acc, -1.0)
+    top_s, top_i = jax.lax.top_k(acc, n_best)
+    return jnp.where(top_s > 0, top_i, -1), top_s

@@ -227,9 +227,11 @@ class SLAMSystem:
 
     def reset_active_map(self):
         tr = self.tracker
+        tr._freeze_trajectory()  # keyframe slots are going away
         tr.state = ms.empty(self.cfg.map)
         tr.n_kf = 0
         tr.n_lm = 0
+        tr.kf_order = []
         tr.track_state = trk.TrackState.NOT_INITIALIZED
         tr.vel = None
         tr.prev_obs = None
@@ -284,23 +286,39 @@ class SLAMSystem:
     # -- atlas snapshots (reference: src/System.cc:1408-1511) --
 
     def save_atlas(self, path: str):
-        snapshot.save_map(
-            path, self.tracker.state, self.cfg.map,
-            self.tracker.n_kf, self.tracker.n_lm, vocab=self.vocab)
+        """Serialize the WHOLE Atlas: active map, stored maps, BoW databases,
+        counters, vocabulary checksum (reference: System::SaveAtlas
+        src/System.cc:1408-1446)."""
+        tr = self.tracker
+        hists = (np.asarray(self.loop_closer.db.hist)
+                 if self.loop_closer is not None else None)
+        stored = self.atlas.stored if self.atlas is not None else ()
+        snapshot.save_atlas(
+            path, tr.state, self.cfg.map, tr.n_kf, tr.n_lm, tr.kf_order,
+            stored=stored, hists=hists, vocab=self.vocab)
 
     def load_atlas(self, path: str):
-        state, cfg, n_kf, n_lm, _voc, extra = snapshot.load_map(
+        """Restore a full Atlas; tracking resumes LOST and must relocalize
+        into the loaded map (reference: LoadAtlas + PostLoad re-adds every
+        keyframe to the BoW database, src/System.cc:1450-1511)."""
+        state, cfg, meta, hists, stored, _voc = snapshot.load_atlas(
             path, vocab=self.vocab)
         tr = self.tracker
+        tr._freeze_trajectory()  # old entries must not resolve via new slots
         tr.state = state
-        tr.n_kf = n_kf
-        tr.n_lm = n_lm
+        tr.n_kf = meta["n_kf"]
+        tr.n_lm = meta["n_lm"]
+        tr.kf_order = list(meta["kf_order"])
         tr.track_state = trk.TrackState.LOST  # must relocalize into the map
         tr.lost_frames = 0
         tr.vel = None
-        # rebuild the BoW database over the loaded keyframes (reference:
-        # PostLoad re-adds every KF to the KeyFrameDatabase)
+        if self.atlas is not None:
+            self.atlas.stored = [atlas_mod.StoredMap(*sm) for sm in stored]
         if self.loop_closer is not None:
-            self.loop_closer.reset()
-            for k in range(n_kf):
-                self.loop_closer.add_keyframe(state, k)
+            if hists is not None:
+                self.loop_closer.db = voc.KeyFrameDatabase(jnp.asarray(hists))
+            else:
+                # no stored histograms: rebuild like the reference's PostLoad
+                self.loop_closer.reset()
+                for k in tr.kf_order:
+                    self.loop_closer.add_keyframe(state, k)

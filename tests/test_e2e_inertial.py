@@ -70,6 +70,50 @@ def test_stereo_inertial_ate(seq):
         assert abs(v_est - v_gt) < 0.25 * max(v_gt, 0.2), (v_est, v_gt)
 
 
+def test_blank_frames_dead_reckoning_recovery(seq):
+    """Blank out imagery mid-sequence: the tracker must dead-reckon on IMU
+    (RECENTLY_LOST), NOT reset, and recover when imagery returns (reference:
+    PredictStateIMU in the RECENTLY_LOST branch src/Tracking.cc:1993-2011 —
+    the round-1 verdict's missing inertial failure mode)."""
+    cfg = tracking.TrackerConfig(
+        orb=orb.ORBConfig(n_features=400, n_levels=4),
+        map=ms.MapConfig(max_keyframes=32, max_landmarks=4096, max_features=400),
+        width=seq.imgs_l.shape[2], height=seq.imgs_l.shape[1],
+        max_local_lm=1024, ba_window=6, ba_fixed=2, new_lm_budget=256,
+        max_frames_between_kf=6,
+    )
+    icfg = it.InertialConfig(
+        frame_samples=16, kf_samples=128, init_min_kfs=4, init_min_time=0.5,
+        vi_window=6, max_local_lm=1024, fix_scale=True,
+    )
+    calib = pre.ImuCalib.make(1.7e-4, 2e-3, 1.9e-5, 3e-3, seq.imu_hz)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = it.StereoInertialTracker(cam, seq.K[0, 0] * seq.baseline, calib,
+                                  cfg, icfg)
+    T = seq.imgs_l.shape[0]
+    blank = np.zeros_like(seq.imgs_l[0])
+    BLANK = range(20, 28)  # 8 frames (0.4 s) of no imagery after IMU init
+    saw_lost = False
+    for i in range(T):
+        imu = seq.imu[i - 1] if i > 0 else np.zeros((0, 7), np.float32)
+        if i in BLANK:
+            tr.process_stereo_inertial(blank, blank, seq.ts[i], imu)
+            saw_lost = saw_lost or (
+                tr.track_state == tracking.TrackState.RECENTLY_LOST)
+            assert tr.track_state != tracking.TrackState.NOT_INITIALIZED, (
+                "tracker reset instead of dead-reckoning")
+        else:
+            tr.process_stereo_inertial(seq.imgs_l[i], seq.imgs_r[i],
+                                       seq.ts[i], imu)
+    assert tr.imu_ready
+    assert saw_lost, "blank frames never put the tracker in RECENTLY_LOST"
+    assert tr.track_state == tracking.TrackState.OK, "never recovered"
+    # accuracy after recovery: the final pose must still be near GT
+    C_est = -np.asarray(tr.R).T @ np.asarray(tr.t)
+    err = np.linalg.norm(C_est - seq.t_wc[-1])
+    assert err < 0.15, f"post-recovery drift {err:.3f} m"
+
+
 def test_gravity_alignment(seq):
     """After IMU init the world Z axis must be gravity-aligned: keyframe
     'up' in the corrected map matches the renderer's -gravity direction

@@ -1,0 +1,118 @@
+"""End-to-end loop closing: a circular revisit must IMPROVE the exported ATE.
+
+This is the round-1 verdict's done-criterion for trajectory bookkeeping +
+loop correction: the reference stores frame poses relative to keyframes and
+recovers the trajectory through loop/GBA-corrected keyframe poses at save
+time (src/Tracking.cc:2300-2319, src/System.cc:608-662), so closing a loop
+retroactively corrects every exported frame — not just the map.
+
+Scenario: the camera drives a full circle looking outward at a sprite wall
+and returns to the start. Odometry drift accumulates; the revisit triggers
+place recognition -> Sim3 verification (temporal-consistency gated) ->
+essential-graph correction -> global BA.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam3_vio_fixes_tpu.evaluation import ate
+from orb_slam3_vio_fixes_tpu.frontend import loop_closing as lc
+from orb_slam3_vio_fixes_tpu.frontend import tracking
+from orb_slam3_vio_fixes_tpu.io import synthetic
+from orb_slam3_vio_fixes_tpu.ops import orb
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+N_FRAMES = 72
+
+
+@pytest.fixture(scope="module")
+def seq():
+    rng = np.random.default_rng(5)
+    s = synthetic.make_loop_stereo_sequence(
+        rng, n_frames=N_FRAMES, h=240, w=352, fx=260.0, baseline=0.2,
+        radius=3.0, wall_radius=9.0, n_points=1400,
+    )
+    # mild sensor noise accelerates odometry drift so the loop has work to do
+    noise = rng.normal(0, 2.0, s.imgs_l.shape).astype(np.float32)
+    noise_r = rng.normal(0, 2.0, s.imgs_r.shape).astype(np.float32)
+    return s._replace(imgs_l=s.imgs_l + noise, imgs_r=s.imgs_r + noise_r)
+
+
+def _cfg(seq):
+    return tracking.TrackerConfig(
+        orb=orb.ORBConfig(n_features=384, n_levels=4),
+        map=ms.MapConfig(max_keyframes=64, max_landmarks=8192,
+                         max_features=384),
+        width=seq.imgs_l.shape[2], height=seq.imgs_l.shape[1],
+        max_local_lm=2048, ba_window=6, ba_fixed=2, new_lm_budget=256,
+        max_frames_between_kf=4,
+    )
+
+
+def _vocab(seq, cfg):
+    """Train a small vocabulary on descriptors harvested from the sequence
+    itself (the reference ships a pre-trained ORBvoc; training in-framework
+    is the shippable equivalent, slam_map/vocabulary.py)."""
+    from orb_slam3_vio_fixes_tpu.frontend.frame import build_stereo_frame
+    import jax.numpy as jnp
+
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    pool = []
+    for i in range(0, N_FRAMES, N_FRAMES // 6):
+        f = build_stereo_frame(
+            jnp.asarray(seq.imgs_l[i]), jnp.asarray(seq.imgs_r[i]),
+            jnp.float32(0.0), cam, jnp.float32(seq.K[0, 0] * seq.baseline),
+            cfg.orb)
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        pool.append(d)
+    return voc.train(np.concatenate(pool), branching=10, depth=3, seed=0)
+
+
+def _run(seq, cfg, closer):
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg,
+                                loop_closer=closer)
+    for i in range(seq.imgs_l.shape[0]):
+        tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+    est_ts = np.array([x[0] for x in tr.trajectory])
+    est_pos = np.array([-x[1].T @ x[2] for x in tr.trajectory])
+    rmse, _, n = ate.ate_rmse(seq.ts, seq.t_wc, est_ts, est_pos)
+    assert n == len(est_ts)
+    return tr, rmse
+
+
+def test_loop_closure_improves_exported_ate(seq):
+    cfg = _cfg(seq)
+    vocab = _vocab(seq, cfg)
+    inv_s2 = tracking.octave_inv_sigma2(cfg.orb)
+
+    # run WITHOUT loop closing
+    tr_off, ate_off = _run(seq, cfg, None)
+    assert tr_off.track_state == tracking.TrackState.OK
+
+    # run WITH loop closing (reference gates: 3-consecutive-KF consistency)
+    closer = lc.LoopCloser(
+        vocab, Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
+                              seq.K[1, 2]),
+        cfg.map.max_keyframes, inv_s2,
+        lc.LoopConfig(min_gap_kfs=8, n_consistency=2, fix_scale=True),
+        bf=seq.K[0, 0] * seq.baseline,
+        n_levels=cfg.orb.n_levels, scale=cfg.orb.scale)
+    tr_on, ate_on = _run(seq, cfg, closer)
+    assert tr_on.track_state == tracking.TrackState.OK
+    assert closer.n_corrections >= 1, "loop never closed on a circular revisit"
+    # the exported trajectory must benefit from the correction
+    assert ate_on < ate_off, (
+        f"loop closing did not improve exported ATE: "
+        f"{ate_off:.4f} -> {ate_on:.4f}")
+    # end-point gap: the strongest signature of a closed loop
+    gap_off = np.linalg.norm(
+        (-tr_off.trajectory[-1][1].T @ tr_off.trajectory[-1][2])
+        - seq.t_wc[-1])
+    gap_on = np.linalg.norm(
+        (-tr_on.trajectory[-1][1].T @ tr_on.trajectory[-1][2])
+        - seq.t_wc[-1])
+    assert gap_on < gap_off

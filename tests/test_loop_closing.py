@@ -117,7 +117,7 @@ def scenario():
 
 def _closer(sc, **kw):
     kw.setdefault("cfg", lc.LoopConfig(min_gap_kfs=8, min_score=0.02,
-                                       run_gba=False))
+                                       run_gba=False, n_consistency=1))
     return lc.LoopCloser(sc["vocab"], CAM, 16, np.ones(4, np.float32), **kw)
 
 
@@ -134,12 +134,13 @@ def test_detection_finds_revisited_place(scenario):
 def test_sim3_verification_recovers_drift(scenario):
     state = scenario["state"]
     kf_last = scenario["kf_last"]
-    n_m, sim = lc.verify_candidate(
+    n_m, n_ransac, sim = lc.verify_candidate(
         jax.random.PRNGKey(0), state, jnp.int32(kf_last), jnp.int32(0),
         CAM, jnp.ones(4), 256, True,
     )
     assert int(n_m) >= 40
-    assert int(sim.n_inliers) >= 40
+    assert int(n_ransac) >= 40
+    assert int(sim.n_inliers) >= 40  # survives the OptimizeSim3 refinement
     # S_cur_cand should equal the TRUE relative pose T_cw(last,gt) T_wc(0,gt)
     R_rel = scenario["R_gt"][kf_last] @ scenario["R_gt"][0].T
     t_rel = scenario["t_gt"][kf_last] - R_rel @ scenario["t_gt"][0]
@@ -149,7 +150,8 @@ def test_sim3_verification_recovers_drift(scenario):
 
 
 def test_loop_correction_removes_drift(scenario):
-    state = scenario["state"]
+    # copy: apply_correction donates its input and the fixture is module-scoped
+    state = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray, scenario["state"]))
     kf_last = scenario["kf_last"]
     closer = _closer(scenario)
     for k in range(N_KF - 1):
@@ -168,3 +170,41 @@ def test_loop_correction_removes_drift(scenario):
     X_dup_corr = np.asarray(state2.lm_pos[M:2 * M])
     err_lm = np.linalg.norm(X_dup_corr - scenario["X"], axis=1)
     assert np.median(err_lm) < 0.1
+
+
+def test_temporal_consistency_gates_single_hit(scenario):
+    """With the reference's 3-consecutive-keyframe gate, one verified hit
+    must NOT rewrite the map (reference: src/LoopClosing.cc:374-464)."""
+    state = scenario["state"]
+    kf_last = scenario["kf_last"]
+    closer = _closer(scenario, cfg=lc.LoopConfig(
+        min_gap_kfs=8, min_score=0.02, run_gba=False, n_consistency=3))
+    for k in range(N_KF - 1):
+        closer.add_keyframe(state, k)
+    state2, result = closer.on_keyframe(state, kf_last, N_KF)
+    # detection succeeded but the chain is too short to correct
+    assert result is not None and not result.corrected
+    assert closer.n_corrections == 0
+    assert np.allclose(np.asarray(state2.kf_t), np.asarray(state.kf_t))
+
+
+def test_refinement_rejects_geometric_mismatch(scenario):
+    """Aliased appearance with inconsistent geometry: same descriptors but
+    scrambled landmark geometry at the fake site must be rejected by the
+    Sim3 RANSAC + OptimizeSim3 gates (the false-positive-loop scenario the
+    round-1 verdict flagged)."""
+    rng = np.random.default_rng(3)
+    state = scenario["state"]
+    kf_last = scenario["kf_last"]
+    # scramble the CURRENT keyframe's landmark geometry: same descriptors,
+    # random 3D structure -> BoW retrieval still fires, geometry must not
+    X_fake = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
+                       rng.uniform(4.0, 8.0, M)], 1).astype(np.float32)
+    state_bad = state._replace(
+        lm_pos=state.lm_pos.at[M:2 * M].set(jnp.asarray(X_fake)))
+    closer = _closer(scenario)
+    for k in range(N_KF - 1):
+        closer.add_keyframe(state_bad, k)
+    state2, result = closer.on_keyframe(state_bad, kf_last, N_KF)
+    assert result is None or not result.corrected
+    assert closer.n_corrections == 0
