@@ -36,14 +36,27 @@ from orb_slam3_vio_fixes_tpu.optim import pose_graph as pg
 from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
 from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
 from orb_slam3_vio_fixes_tpu.utils import lie
-from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, project, unproject
 
 
 class LoopConfig(NamedTuple):
     min_bow_matches: int = 20      # reference nBoWMatches (:581)
-    min_sim3_inliers: int = 20     # reference nSim3Inliers
+    min_sim3_inliers: int = 15     # reference nBoWInliers (:582)
     min_refine_inliers: int = 20   # post-OptimizeSim3 gate (nProjOptMatches
                                    # spirit, src/LoopClosing.cc:785-800)
+    min_proj_matches: int = 30     # reference nProjMatches=50 (:583) — the
+                                   # projection-verification gate that does
+                                   # the real true/false-loop discrimination
+    guided_radius: float = 40.0    # px drift budget of the stage-1 prior-
+                                   # guided window (reference th=15 schedule
+                                   # spirit, src/Tracking.cc:3388-3413)
+    verify_radius: float = 10.0    # px window of the strict verification
+    proj_max_dist: int = 80        # Hamming gate for windowed matches — a
+                                   # 10-40 px window holds ~2-6 features, so
+                                   # the chance a WRONG candidate passes at
+                                   # 80 bits stays ~5% per landmark while
+                                   # true seam pairs (measured p50 ~70-85
+                                   # under viewpoint change) survive
     min_gap_kfs: int = 10          # don't match against recent keyframes
     min_score: float = 0.03        # BoW score floor
     n_candidates: int = 3          # DetectNBestCandidates(3)
@@ -55,6 +68,11 @@ class LoopConfig(NamedTuple):
     pg_iters: int = 12
     run_gba: bool = True
     gba_max_kf: int = 200          # reference: GBA only if map < 200 KFs
+    inertial: bool = False         # gravity-aligned map: 4-DoF essential
+                                   # graph (src/LoopClosing.cc:1176-1184),
+                                   # candidate scale gate + yaw-only clamp
+                                   # (:141-164), velocity rotation (:1045)
+    scale_gate: float = 0.1        # reject inertial loops with |s-1| > gate
 
 
 @jax.jit
@@ -63,7 +81,9 @@ def kf_histogram(vocab: voc.Vocabulary, desc, feat_valid):
     return voc.bow_histogram(vocab, words)
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_hyp", "fix_scale", "n_levels", "scale",
+    "guided_radius", "verify_radius", "proj_max_dist"))
 def verify_candidate(
     key,
     state: ms.MapState,
@@ -72,15 +92,43 @@ def verify_candidate(
     inv_sigma2_oct,      # (n_levels,) 1/sigma^2 per octave
     n_hyp: int,
     fix_scale: bool,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    guided_radius: float = 40.0,
+    verify_radius: float = 8.0,
+    proj_max_dist: int = 64,
 ):
-    """Geometric verification of one loop candidate: descriptor-match the two
-    keyframes' landmark-bound features, then batched Sim3 RANSAC on the
-    matched landmark pairs (reference: DetectCommonRegionsFromBoW
-    src/LoopClosing.cc:578-896).
+    """Geometric verification of one same-map loop candidate.
 
-    Returns (n_matches, Sim3Result) where the Sim3 maps candidate-camera
-    coordinates into current-camera coordinates (the reference's mScw
-    convention: gScm in :698-767).
+    Re-design of DetectCommonRegionsFromBoW (src/LoopClosing.cc:578-896) for
+    a SAME-MAP loop, where a relative-pose prior exists: the candidate and
+    the current keyframe live in one (drifted) world frame, so the current
+    pose estimate predicts where every candidate-side landmark should appear
+    — exactly the prior the reference exploits in
+    DetectAndReffineSim3FromLastKF (:535) and FindMatchesByProjection
+    (:913-967). Pure appearance matching (SearchByBoW + ratio/TH_LOW gates)
+    assumes highly repeatable descriptors; under viewpoint change its true-
+    pair fraction collapses and Sim3 RANSAC starves. Prior-guided matching
+    keeps the true-pair fraction high and leaves the descriptors only the
+    job they can do: disambiguation inside a window.
+
+    Stages:
+      1. guided match: project candidate-bound landmarks with the CURRENT
+         pose (their predicted position up to accumulated drift), window-
+         search radius `guided_radius` (drift budget), Hamming <=
+         `proj_max_dist` — tight enough to reject unrelated texture;
+      2. Sim3 RANSAC over guided pairs with 3D on both sides (current side:
+         bound landmark, else stereo-unprojected keypoint) — Sim3Solver
+         semantics (:698-710);
+      3. Gauss-Newton Sim3 refinement (OptimizeSim3, :767);
+      4. strict projection verification through the REFINED Sim3 at
+         `verify_radius` — the nProjMatches=50-style acceptance gate
+         (:581-585): a wrong-place candidate cannot pass because its
+         landmarks do not land on descriptively-consistent features.
+
+    Returns (n_guided, n_ransac_inliers, n_proj, Sim3Result); the Sim3 maps
+    candidate-camera coordinates into current-camera coordinates (the
+    reference's gScm convention).
     """
     K, N = state.kf_obs.shape
     L = state.lm_pos.shape[0]
@@ -94,32 +142,75 @@ def verify_candidate(
     has_k = (obs_k >= 0) & state.lm_valid[lk] & state.kf_feat_valid[k]
     has_c = (obs_c >= 0) & state.lm_valid[lc] & state.kf_feat_valid[c]
 
-    res = matching.match_descriptors(
-        state.kf_desc[k], has_k, state.kf_desc[c], has_c,
-        ratio=0.75, max_dist=matching.TH_LOW, mutual=True,
-    )
-    matched = res.idx >= 0
-    n_matches = jnp.sum(matched.astype(jnp.int32))
-    j = jnp.clip(res.idx, 0, N - 1)
+    R_k, t_k = state.kf_R[k], state.kf_t[k]
+    R_c, t_c = state.kf_R[c], state.kf_t[c]
+    Xw_c = state.lm_pos[lc]                     # candidate-bound landmarks
+    Xc_cam = jnp.einsum("ij,nj->ni", R_c, Xw_c) + t_c   # cand camera frame
 
-    # matched landmark pairs -> camera-frame points
-    Xk = state.lm_pos[lk]                                # via current KF obs
-    Xc_of_match = state.lm_pos[jnp.clip(obs_c[j], 0, L - 1)]
-    pts1 = jnp.einsum("ij,nj->ni", state.kf_R[k], Xk) + state.kf_t[k]
-    pts2 = jnp.einsum("ij,nj->ni", state.kf_R[c], Xc_of_match) + state.kf_t[c]
-    s2_k = 1.0 / inv_sigma2_oct[jnp.clip(state.kf_octave[k], 0, inv_sigma2_oct.shape[0] - 1)]
-    s2_c = 1.0 / inv_sigma2_oct[jnp.clip(state.kf_octave[c][j], 0, inv_sigma2_oct.shape[0] - 1)]
+    def project_and_match(Rs, ts, ss, radius_px):
+        """Window-match candidate landmarks mapped into the current camera
+        by the Sim3 (Rs, ts, ss) о cand-cam."""
+        Y = ss * Xc_cam @ Rs.T + ts
+        uv_pred = project(cam, Y)
+        depth_ok = Y[:, 2] > 0.1
+        dist_c = jnp.linalg.norm(Y, axis=-1)
+        ratio_d = jnp.maximum(
+            state.lm_maxdist[lc] / jnp.maximum(dist_c, 1e-9), 1e-9)
+        octv = jnp.clip(
+            jnp.ceil(jnp.log(ratio_d) / jnp.log(scale)).astype(jnp.int32),
+            0, n_levels - 1)
+        sf = jnp.power(jnp.float32(scale), octv.astype(jnp.float32))
+        # use the landmark's DISTINCTIVE descriptor (min-median-Hamming over
+        # observations, src/MapPoint.cc:329-403) — more stable than the
+        # single candidate-KF observation
+        desc = state.lm_desc[lc]
+        return matching.search_by_projection(
+            uv_pred, has_c & depth_ok, desc, octv, radius_px * sf,
+            state.kf_uv[k], state.kf_feat_valid[k], state.kf_desc[k],
+            state.kf_octave[k],
+            max_dist=proj_max_dist,
+            oct_window=n_levels,   # octave prediction is unreliable across
+                                   # a loop's viewpoint change
+        )
+
+    # ---- stage 1: prior-guided matching (S0 = current relative pose) ----
+    # composing S0 with cand-cam coords reproduces world->current projection
+    R0 = R_k @ R_c.T
+    t0 = t_k - R0 @ t_c
+    guided = project_and_match(R0, t0, jnp.float32(1.0), guided_radius)
+    g_ok = guided.idx >= 0
+    n_guided = jnp.sum(g_ok.astype(jnp.int32))
+
+    # ---- stage 2: Sim3 RANSAC on guided pairs with 3D on both sides ----
+    gj = jnp.clip(guided.idx, 0, N - 1)
+    cur_lm = obs_k[gj]
+    cur_bound = (cur_lm >= 0) & state.lm_valid[jnp.clip(cur_lm, 0, L - 1)]
+    X_cur_lm = jnp.einsum(
+        "ij,nj->ni", R_k, state.lm_pos[jnp.clip(cur_lm, 0, L - 1)]) + t_k
+    # stereo-unprojected fallback for unbound current features
+    uv_k = state.kf_uv[k][gj]
+    z_k = state.kf_depth[k][gj]
+    X_cur_st = unproject(cam, uv_k) * jnp.maximum(z_k, 1e-6)[:, None]
+    has_depth = z_k > 0
+    pts1 = jnp.where(cur_bound[:, None], X_cur_lm, X_cur_st)
+    pair_ok = g_ok & (cur_bound | has_depth)
+    s2_k = 1.0 / inv_sigma2_oct[
+        jnp.clip(state.kf_octave[k][gj], 0, inv_sigma2_oct.shape[0] - 1)]
+    s2_c = 1.0 / inv_sigma2_oct[
+        jnp.clip(state.kf_octave[c], 0, inv_sigma2_oct.shape[0] - 1)]
     sim = sim3_ops.sim3_ransac(
-        key, pts1, pts2, matched, cam, cam, s2_k, s2_c,
+        key, pts1, Xc_cam, pair_ok, cam, cam, s2_k, s2_c,
         n_hyp=n_hyp, fix_scale=fix_scale,
     )
-    # Gauss-Newton refinement between RANSAC and acceptance (reference:
-    # OptimizeSim3 at src/LoopClosing.cc:767, impl src/Optimizer.cc:2115)
+    # ---- stage 3: Gauss-Newton refinement (OptimizeSim3, :767) ----
     refined = sim3_ops.sim3_refine(
-        sim.R, sim.t, sim.s, pts1, pts2, matched & sim.inliers,
+        sim.R, sim.t, sim.s, pts1, Xc_cam, pair_ok & sim.inliers,
         cam, cam, s2_k, s2_c, fix_scale=fix_scale,
     )
-    return n_matches, sim.n_inliers, refined
+    # ---- stage 4: strict projection verification at the refined Sim3 ----
+    proj = project_and_match(refined.R, refined.t, refined.s, verify_radius)
+    n_proj = jnp.sum((proj.idx >= 0).astype(jnp.int32))
+    return n_guided, sim.n_inliers, n_proj, refined
 
 
 @functools.partial(jax.jit, static_argnames=("n_best",))
@@ -156,6 +247,10 @@ def apply_correction(
 
     For Sim3 (R, t, s): Xc = s R X + t; the corrected SE3 pose stored back is
     (R, t/s) (the reference's [R t/s; 0 1] at src/LoopClosing.cc:1127).
+    Keyframe velocities are world-frame vectors attached to each keyframe —
+    they transform with the linear part of the same per-keyframe world
+    correction, (1/s) R_new^T R_old (reference corrects velocities through
+    the Sim3 at src/LoopClosing.cc:1045-1100 / Map::ApplyScaledRotation).
     """
     K = state.kf_R.shape[0]
     L = state.lm_pos.shape[0]
@@ -172,11 +267,17 @@ def apply_correction(
     Xw = jnp.einsum("lji,lj->li", Rn, Xc - tn) / jnp.maximum(sn[:, None], 1e-9)
     lm_pos = jnp.where(anchored[:, None], Xw, state.lm_pos)
 
+    # velocity: v_new = (1/s) R_new^T R_old v_old, each KF its own anchor
+    v_cam = jnp.einsum("kij,kj->ki", state.kf_R, state.kf_vel)
+    v_new = jnp.einsum("kji,kj->ki", R_new, v_cam) \
+        / jnp.maximum(s_new[:, None], 1e-9)
+
     # store corrected keyframe SE3: R, t/s
     t_se3 = t_new / jnp.maximum(s_new[:, None], 1e-9)
     state = state._replace(
         kf_R=jnp.where(state.kf_valid[:, None, None], R_new, state.kf_R),
         kf_t=jnp.where(state.kf_valid[:, None], t_se3, state.kf_t),
+        kf_vel=jnp.where(state.kf_valid[:, None], v_new, state.kf_vel),
         lm_pos=lm_pos,
         epoch=state.epoch + 1,
     )
@@ -188,6 +289,7 @@ class LoopResult(NamedTuple):
     n_matches: int
     n_inliers: int
     corrected: bool
+    n_proj: int = 0
 
 
 class LoopCloser:
@@ -201,10 +303,15 @@ class LoopCloser:
 
     def __init__(self, vocab: voc.Vocabulary, cam: Camera, max_kf: int,
                  inv_sigma2_oct, cfg: LoopConfig = LoopConfig(),
-                 bf: float = 0.0, n_levels: int = 8, scale: float = 1.2):
+                 bf: float = 0.0, n_levels: int = 8, scale: float = 1.2,
+                 mesh=None):
         self.vocab = vocab
         self.cam = cam
         self.cfg = cfg
+        # optional jax.sharding.Mesh: loop GBA runs the landmark-sharded
+        # distributed solver over it (parallel/sharded_ba) instead of the
+        # single-device path
+        self.mesh = mesh
         self.bf = jnp.float32(bf)
         self.n_levels = n_levels
         self.scale = scale
@@ -213,15 +320,22 @@ class LoopCloser:
         self.key = jax.random.PRNGKey(7)
         self.loop_edges = []   # (i_cand, j_cur, (R, t, s)) accepted loops
         self.n_corrections = 0
+        # every gate-passing hit (pre-consistency): margin bookkeeping for
+        # tests ("matched-count margin >= 2x the gate")
+        self.hits = []         # dicts: kf, cand, n_m, n_ransac, n_proj, n_ref
         # temporal-consistency chain (reference: mnLoopNumCoincidences over
         # consecutive keyframes, src/LoopClosing.cc:374-464)
         self._pending_group = None   # set of KF slots around the candidate
         self._pending_count = 0
 
     def reset(self):
-        """Clear the database (active map was stashed or reset)."""
+        """Clear the database (active map was stashed or reset). The
+        consistency chain must go too: keyframe slot ids restart at 0 in the
+        new map, so a stale chain could vote for an unrelated region."""
         K, W = self.db.hist.shape
         self.db = voc.KeyFrameDatabase.empty(K, W)
+        self._pending_group = None
+        self._pending_count = 0
 
     def grow(self, max_kf: int):
         """Grow the histogram database to a bigger keyframe tier."""
@@ -242,6 +356,10 @@ class LoopCloser:
         cur = np.asarray(self.db.hist[:n_cur])
         h[kf_off:kf_off + n_cur] = cur
         self.db = voc.KeyFrameDatabase(jnp.asarray(h))
+        # slot ids shifted — drop the consistency chain rather than let it
+        # vote with pre-merge ids
+        self._pending_group = None
+        self._pending_count = 0
 
     def add_keyframe(self, state: ms.MapState, kf_id: int):
         hist = kf_histogram(self.vocab, state.kf_desc[kf_id],
@@ -276,25 +394,39 @@ class LoopCloser:
         hit = None
         for cand in cands:
             self.key, sub = jax.random.split(self.key)
-            n_m, n_ransac, sim = verify_candidate(
+            n_m, n_ransac, n_proj, sim = verify_candidate(
                 sub, state, jnp.int32(kf_id), jnp.int32(cand), self.cam,
                 self.inv_sigma2_oct, cfg.n_hyp, cfg.fix_scale,
+                n_levels=self.n_levels, scale=self.scale,
+                guided_radius=cfg.guided_radius,
+                verify_radius=cfg.verify_radius,
+                proj_max_dist=cfg.proj_max_dist,
             )
-            # ONE pull for all three gate scalars
+            # ONE pull for all four gate scalars
             gates = np.asarray(jnp.stack(
-                [n_m, n_ransac, sim.n_inliers]))
-            n_m, n_ransac, n_ref = (int(x) for x in gates)
+                [n_m, n_ransac, n_proj, sim.n_inliers]))
+            n_m, n_ransac, n_proj, n_ref = (int(x) for x in gates)
             if (n_m < cfg.min_bow_matches
                     or n_ransac < cfg.min_sim3_inliers
-                    or n_ref < cfg.min_refine_inliers):
+                    or n_ref < cfg.min_refine_inliers
+                    or n_proj < cfg.min_proj_matches):
                 continue
-            hit = (cand, n_m, n_ref, sim)
+            if cfg.inertial and abs(float(np.asarray(sim.s)) - 1.0) \
+                    > cfg.scale_gate:
+                # gravity-aligned metric map: a loop whose Sim3 wants a
+                # scale change is geometric aliasing (reference gates
+                # 0.9-1.1, src/LoopClosing.cc:141-164)
+                continue
+            self.hits.append(dict(kf=kf_id, cand=cand, n_m=n_m,
+                                  n_ransac=n_ransac, n_proj=n_proj,
+                                  n_ref=n_ref))
+            hit = (cand, n_m, n_ref, n_proj, sim)
             break
         if hit is None:
             self._pending_group = None
             self._pending_count = 0
             return state, None
-        cand, n_m, n_ref, sim = hit
+        cand, n_m, n_ref, n_proj, sim = hit
         group = self._covisible_group(state, cand)
         if (self._pending_group is not None
                 and self._pending_group & group):
@@ -303,12 +435,12 @@ class LoopCloser:
             self._pending_count = 1
         self._pending_group = group
         if self._pending_count < cfg.n_consistency:
-            return state, LoopResult(cand, n_m, n_ref, False)
+            return state, LoopResult(cand, n_m, n_ref, False, n_proj)
         self._pending_group = None
         self._pending_count = 0
         state = self._correct(state, kf_id, cand, sim, n_kf)
         self.n_corrections += 1
-        return state, LoopResult(cand, n_m, n_ref, True)
+        return state, LoopResult(cand, n_m, n_ref, True, n_proj)
 
     def _covisible_group(self, state: ms.MapState, cand: int):
         """Candidate + its covisible keyframes (the reference's spCandidate
@@ -331,20 +463,53 @@ class LoopCloser:
             np.asarray(state.kf_valid), np.asarray(state.kf_prev),
             cov, cfg.max_edges, cov_threshold=100,
         )
+        sim_R, sim_t, sim_s = sim.R, sim.t, sim.s
+        if cfg.inertial:
+            # yaw-only clamp of the measured loop transform (reference:
+            # phi(0)=phi(1)=0 on the drift rotation, src/LoopClosing.cc:
+            # 141-164): express the discrepancy between the measured Sim3
+            # and the odometric relative pose in the WORLD frame, zero its
+            # roll/pitch (gravity must stay aligned), recompose.
+            R_m = np.asarray(sim_R, np.float64)
+            t_m = np.asarray(sim_t, np.float64)
+            R_cur = np.asarray(state.kf_R[kf_id], np.float64)
+            R_cand = np.asarray(state.kf_R[cand], np.float64)
+            t_cur = np.asarray(state.kf_t[kf_id], np.float64)
+            t_cand = np.asarray(state.kf_t[cand], np.float64)
+            R_o = R_cur @ R_cand.T
+            t_o = t_cur - R_o @ t_cand
+            R_e = R_o.T @ R_m                      # error, cand-cam frame
+            t_e = R_o.T @ (t_m - t_o)
+            R_ew = R_cand.T @ R_e @ R_cand         # conjugated into world
+            w = np.asarray(lie.so3_log(jnp.asarray(R_ew, jnp.float32)),
+                           np.float64)
+            w[0] = 0.0
+            w[1] = 0.0
+            R_ew = np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)),
+                              np.float64)
+            R_e = R_cand @ R_ew @ R_cand.T
+            R_m = R_o @ R_e
+            t_m = R_o @ t_e + t_o
+            sim_R = jnp.asarray(R_m, jnp.float32)
+            sim_t = jnp.asarray(t_m, jnp.float32)
+            sim_s = jnp.float32(1.0)
         # loop-edge measurement S_ji with i=cand, j=cur:
         # S_cw(cur) S_cw(cand)^-1 = S_cur_cand = (sim.R, sim.t, sim.s)
         n_valid_edges = int(np.asarray(edges.valid).sum())
         edges = pg.add_loop_edge(
-            edges, n_valid_edges, cand, kf_id, sim.R, sim.t, sim.s, weight=100.0
+            edges, n_valid_edges, cand, kf_id, sim_R, sim_t, sim_s,
+            weight=100.0,
         )
-        self.loop_edges.append((cand, kf_id, (np.asarray(sim.R),
-                                              np.asarray(sim.t), float(sim.s))))
+        self.loop_edges.append((cand, kf_id, (np.asarray(sim_R),
+                                              np.asarray(sim_t),
+                                              float(sim_s))))
         fixed = np.zeros(K, bool)
         fixed[cand] = True      # reference fixes the loop keyframe (:1530)
         fixed[0] = True
         R, t, s, chi2 = pg.optimize_pose_graph(
             state.kf_R, state.kf_t, jnp.ones(K), jnp.asarray(fixed), edges,
-            pg.PoseGraphConfig(n_iters=cfg.pg_iters, fix_scale=cfg.fix_scale),
+            pg.PoseGraphConfig(n_iters=cfg.pg_iters, fix_scale=cfg.fix_scale,
+                               four_dof=cfg.inertial),
         )
         state = apply_correction(state, R, t, s, n_levels=self.n_levels,
                                  scale=self.scale)
@@ -354,9 +519,18 @@ class LoopCloser:
         # solver scales to the full fixed-capacity map so the size gate is a
         # config knob, not a hard limit)
         if cfg.run_gba and n_kf <= cfg.gba_max_kf:
-            from orb_slam3_vio_fixes_tpu.optim import global_ba as gba_mod
+            if self.mesh is not None:
+                # ONE GBA code path across scales: the landmark-sharded
+                # distributed solver shares ba_core's CG Schur kernels
+                from orb_slam3_vio_fixes_tpu.parallel import sharded_ba
 
-            state, _ = gba_mod.run_global_ba(
-                state, self.inv_sigma2_oct, self.cam, self.bf, jnp.int32(0),
-                n_levels=self.n_levels, scale=self.scale)
+                state, _ = sharded_ba.distributed_global_ba(
+                    state, self.inv_sigma2_oct, self.cam, self.bf,
+                    self.mesh, n_levels=self.n_levels, scale=self.scale)
+            else:
+                from orb_slam3_vio_fixes_tpu.optim import global_ba as gba_mod
+
+                state, _ = gba_mod.run_global_ba(
+                    state, self.inv_sigma2_oct, self.cam, self.bf,
+                    jnp.int32(0), n_levels=self.n_levels, scale=self.scale)
         return state

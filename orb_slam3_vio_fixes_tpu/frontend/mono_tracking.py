@@ -196,6 +196,11 @@ class MonocularTracker(trk.StereoTracker):
         self.ref_inliers = self.n_lm
         self.ref_frame = None
         self._refresh_ref_pose(1)
+        # register the init pair in the place-recognition database (later
+        # keyframes are added by _insert_keyframe)
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.state, 0)
+            self.loop_closer.add_keyframe(self.state, 1)
         return True
 
     def _need_keyframe(self, frame, cur_obs, n_inliers):

@@ -217,14 +217,23 @@ def make_gt_stereo_sequence(
     return render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)
 
 
-def loop_trajectory(n_frames, dt=0.05, radius=3.0, look="outward"):
-    """Closed circular trajectory returning exactly to the start pose — the
-    revisit scenario for loop-closing e2e tests. The camera moves on a circle
-    of `radius` looking radially outward at a surrounding sprite wall."""
+def loop_trajectory(n_frames, dt=0.05, radius=3.0, look="outward",
+                    n_loop=None):
+    """Closed circular trajectory returning to the start pose — the revisit
+    scenario for loop-closing e2e tests. The camera moves on a circle of
+    `radius` looking radially outward at a surrounding sprite wall.
+
+    n_loop: frames per full lap (default: n_frames). n_frames > n_loop
+    continues PAST the closure point, re-driving the start of the lap — the
+    realistic revisit where several consecutive keyframes see the seam (a
+    single-frame revisit can never satisfy a multi-keyframe temporal-
+    consistency gate)."""
+    if n_loop is None:
+        n_loop = n_frames
     R_wc = np.zeros((n_frames, 3, 3), np.float32)
     t_wc = np.zeros((n_frames, 3), np.float32)
     for i in range(n_frames):
-        a = 2.0 * np.pi * i / (n_frames - 1)
+        a = 2.0 * np.pi * i / (n_loop - 1)
         # camera center on the circle (XZ plane)
         t_wc[i] = radius * np.array([np.sin(a), 0.0, -np.cos(a)], np.float32)
         # yaw about Y so +z (optical axis) points radially outward:
@@ -255,10 +264,10 @@ def make_loop_world(rng, n_points=1200, wall_radius=9.0, height=3.0,
 
 def make_loop_stereo_sequence(
     rng, n_frames=80, h=240, w=352, fx=260.0, baseline=0.2, dt=0.05,
-    radius=3.0, wall_radius=9.0, n_points=1200,
+    radius=3.0, wall_radius=9.0, n_points=1200, n_loop=None,
 ) -> StereoSequence:
     world = make_loop_world(rng, n_points=n_points, wall_radius=wall_radius)
-    R_wc, t_wc = loop_trajectory(n_frames, dt, radius=radius)
+    R_wc, t_wc = loop_trajectory(n_frames, dt, radius=radius, n_loop=n_loop)
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
     ts = np.arange(n_frames) * dt
     return render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)

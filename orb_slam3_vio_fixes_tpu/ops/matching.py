@@ -113,7 +113,8 @@ def match_descriptors(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_dist", "ratio", "apply_ratio_same_octave")
+    jax.jit, static_argnames=("max_dist", "ratio", "apply_ratio_same_octave",
+                              "oct_window")
 )
 def search_by_projection(
     proj_uv,        # (M, 2) predicted pixel position of each map point
@@ -131,6 +132,9 @@ def search_by_projection(
     max_dist: int = TH_HIGH,
     ratio: float = 0.0,  # 0 disables; reference applies it same-octave only
     apply_ratio_same_octave: bool = True,
+    oct_window: int = 1,  # octave tolerance; >= n_levels disables the gate
+                          # (loop verification: octave prediction under big
+                          # viewpoint change is unreliable)
 ) -> MatchResult:
     """Windowed projection matching (reference semantics:
     ORBmatcher::SearchByProjection src/ORBmatcher.cc:43-213 — octave window
@@ -140,8 +144,8 @@ def search_by_projection(
     du = proj_uv[:, None, 0] - feat_uv[None, :, 0]
     dv = proj_uv[:, None, 1] - feat_uv[None, :, 1]
     within = (du * du + dv * dv) <= (radius[:, None] ** 2)
-    oct_ok = (feat_octave[None, :] >= proj_octave[:, None] - 1) & (
-        feat_octave[None, :] <= proj_octave[:, None] + 1
+    oct_ok = (feat_octave[None, :] >= proj_octave[:, None] - oct_window) & (
+        feat_octave[None, :] <= proj_octave[:, None] + oct_window
     )
     mask = within & oct_ok & proj_valid[:, None] & feat_valid[None, :]
     if feat_taken is not None:

@@ -33,7 +33,7 @@ from orb_slam3_vio_fixes_tpu.ops import matching
 from orb_slam3_vio_fixes_tpu.ops import sim3 as sim3_ops
 from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
 from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
-from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, project
 
 
 class StoredMap(NamedTuple):
@@ -46,14 +46,17 @@ class StoredMap(NamedTuple):
 class AtlasConfig(NamedTuple):
     min_stash_kfs: int = 5        # reference: map >= 10 KFs survives a reset
     min_bow_matches: int = 20
-    min_sim3_inliers: int = 20
+    min_sim3_inliers: int = 15
+    min_proj_matches: int = 40    # projection-verification gate (reference
+                                  # nProjMatches=50, src/LoopClosing.cc:583)
     min_score: float = 0.03      # BoW score floor for merge candidates
     merge_window: int = 8         # welding window keyframes per side
     n_hyp: int = 256
     fix_scale: bool = True
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_hyp", "fix_scale", "n_levels", "scale"))
 def verify_cross_candidate(
     key,
     cur: ms.MapState, kf_id,
@@ -62,35 +65,41 @@ def verify_cross_candidate(
     inv_sigma2_oct,
     n_hyp: int,
     fix_scale: bool,
+    n_levels: int = 8,
+    scale: float = 1.2,
 ):
     """Sim3 verification between a keyframe of the ACTIVE map and a candidate
     keyframe of a STORED map (reference: DetectCommonRegionsFromBoW running
-    across maps, src/LoopClosing.cc:578-896).
+    across maps, src/LoopClosing.cc:578-896). Same four-stage design as
+    loop_closing.verify_candidate: loose descriptor gates feeding Sim3
+    RANSAC + refinement, then a projection-verification count that carries
+    the true/false discrimination (FindMatchesByProjection, :913-967).
 
-    Returns (n_matches, Sim3Result) with the Sim3 mapping candidate-camera
-    coordinates into current-camera coordinates."""
+    Returns (n_matches, n_proj, Sim3Result) with the Sim3 mapping
+    candidate-camera coordinates into current-camera coordinates."""
     K, N = cur.kf_obs.shape
     L = cur.lm_pos.shape[0]
+    Lo = old.lm_pos.shape[0]
     k = jnp.clip(kf_id, 0, K - 1)
     c = jnp.clip(cand_id, 0, old.kf_obs.shape[0] - 1)
 
     obs_k = cur.kf_obs[k]
     obs_c = old.kf_obs[c]
     lk = jnp.clip(obs_k, 0, L - 1)
-    lc = jnp.clip(obs_c, 0, old.lm_pos.shape[0] - 1)
+    lc = jnp.clip(obs_c, 0, Lo - 1)
     has_k = (obs_k >= 0) & cur.lm_valid[lk] & cur.kf_feat_valid[k]
     has_c = (obs_c >= 0) & old.lm_valid[lc] & old.kf_feat_valid[c]
 
     res = matching.match_descriptors(
         cur.kf_desc[k], has_k, old.kf_desc[c], has_c,
-        ratio=0.75, max_dist=matching.TH_LOW, mutual=True,
+        ratio=0.9, max_dist=matching.TH_HIGH, mutual=True,
     )
     matched = res.idx >= 0
     n_matches = jnp.sum(matched.astype(jnp.int32))
     j = jnp.clip(res.idx, 0, N - 1)
 
     Xk = cur.lm_pos[lk]
-    Xc = old.lm_pos[jnp.clip(obs_c[j], 0, old.lm_pos.shape[0] - 1)]
+    Xc = old.lm_pos[jnp.clip(obs_c[j], 0, Lo - 1)]
     pts1 = jnp.einsum("ij,nj->ni", cur.kf_R[k], Xk) + cur.kf_t[k]
     pts2 = jnp.einsum("ij,nj->ni", old.kf_R[c], Xc) + old.kf_t[c]
     nl = inv_sigma2_oct.shape[0]
@@ -100,7 +109,33 @@ def verify_cross_candidate(
         key, pts1, pts2, matched, cam, cam, s2_k, s2_c,
         n_hyp=n_hyp, fix_scale=fix_scale,
     )
-    return n_matches, sim
+    refined = sim3_ops.sim3_refine(
+        sim.R, sim.t, sim.s, pts1, pts2, matched & sim.inliers,
+        cam, cam, s2_k, s2_c, fix_scale=fix_scale,
+    )
+    # projection verification: stored-map landmarks bound to the candidate,
+    # through the refined Sim3, window-matched in the current keyframe
+    Xc_all = jnp.einsum("ij,nj->ni", old.kf_R[c], old.lm_pos[lc]) \
+        + old.kf_t[c]
+    Y = refined.s * Xc_all @ refined.R.T + refined.t
+    uv_pred = project(cam, Y)
+    depth_ok = Y[:, 2] > 0.1
+    dist_c = jnp.linalg.norm(Y, axis=-1)
+    ratio_d = jnp.maximum(
+        old.lm_maxdist[lc] / jnp.maximum(dist_c, 1e-9), 1e-9)
+    octv = jnp.clip(
+        jnp.ceil(jnp.log(ratio_d) / jnp.log(scale)).astype(jnp.int32),
+        0, n_levels - 1)
+    sf = jnp.power(jnp.float32(scale), octv.astype(jnp.float32))
+    proj = matching.search_by_projection(
+        uv_pred, has_c & depth_ok, old.kf_desc[c], octv, 10.0 * sf,
+        cur.kf_uv[k], cur.kf_feat_valid[k], cur.kf_desc[k],
+        cur.kf_octave[k],
+        max_dist=matching.TH_HIGH,
+        oct_window=n_levels,
+    )
+    n_proj = jnp.sum((proj.idx >= 0).astype(jnp.int32))
+    return n_matches, n_proj, refined
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -253,12 +288,15 @@ class Atlas:
             sm = sm._replace(state=ms.grow_map(sm.state, old_cfg, mc))
             self.stored[mi] = sm
         self.key, sub = jax.random.split(self.key)
-        n_m, sim = verify_cross_candidate(
+        n_m, n_proj, sim = verify_cross_candidate(
             sub, state, jnp.int32(kf_id), sm.state, jnp.int32(ci), self.cam,
             self.inv_sigma2_oct, self.cfg.n_hyp, self.cfg.fix_scale,
+            n_levels=self.map_cfg.n_levels, scale=self.map_cfg.scale,
         )
-        if int(n_m) < self.cfg.min_bow_matches or \
-           int(sim.n_inliers) < self.cfg.min_sim3_inliers:
+        gates = np.asarray(jnp.stack([n_m, n_proj, sim.n_inliers]))
+        if int(gates[0]) < self.cfg.min_bow_matches or \
+           int(gates[2]) < self.cfg.min_sim3_inliers or \
+           int(gates[1]) < self.cfg.min_proj_matches:
             return None
         # world alignment src(active)->dst(stored):
         # S_cand_cam<-cur_cam = sim^{-1}; S_dst<-src = T_wc_cand ∘ sim^{-1} ∘ T_cw_cur

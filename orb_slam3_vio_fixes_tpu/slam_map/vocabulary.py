@@ -149,6 +149,16 @@ def load(path: str) -> Vocabulary:
         )
 
 
+def default_vocabulary() -> Vocabulary:
+    """The checked-in 10^4-word vocabulary artifact (the framework's
+    ORBvoc.txt analogue; trained by scripts/train_default_vocab.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "vocab_b10d4.npz")
+    return load(path)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def assign_words(vocab: Vocabulary, descs: jax.Array, valid: jax.Array) -> jax.Array:
     """(N, 8) descriptors -> (N,) leaf word ids (-1 for invalid rows).
@@ -254,14 +264,26 @@ def db_query_grouped(
     # 0.8 * maxCommonWords, src/KeyFrameDatabase.cc:644-656) — without it
     # the noise-floor similarity of every keyframe accumulates and group
     # SIZE outranks group relevance
-    strong = own >= jnp.maximum(0.6 * jnp.max(own), min_score)
+    strong = own >= jnp.maximum(0.8 * jnp.max(own), min_score)
     own_s = jnp.where(strong, own, 0.0)
     # top-`group_size` covisibles per row as a dense mask
     k_eff = min(group_size, K)
     topw, _ = jax.lax.top_k(cov, k_eff)
     thresh = jnp.maximum(topw[:, -1][:, None], 1)
     nbmask = (cov >= thresh) & (cov > 0)
-    acc = own_s + nbmask.astype(own.dtype) @ own_s
+    members = nbmask | jnp.eye(K, dtype=bool)
+    # Group score = best member + DAMPED accumulation of the rest. A pure
+    # sum (the literal reference formula) makes group SIZE the dominant
+    # term whenever the vocabulary's score floor is high (small vocab, self-
+    # similar scenes): eight mediocre 0.4-scoring neighbours outrank the one
+    # true 0.5 match. Max-dominant scoring keeps the reference's group
+    # robustness while preserving the raw ranking's discrimination.
+    group_max = jnp.max(jnp.where(members, own_s[None, :], 0.0), axis=-1)
+    acc_sum = own_s + nbmask.astype(own.dtype) @ own_s
+    # lexicographic (group_max, acc_sum): accumulation only breaks ties —
+    # any larger weight lets group SIZE outrank the true match whenever the
+    # vocabulary's noise floor is within ~20% of the true-match score
+    acc = group_max + 1e-3 * jnp.maximum(acc_sum - group_max, 0.0)
     acc = jnp.where(strong, acc, -1.0)
     gate = 0.75 * jnp.max(acc)
     acc = jnp.where(acc >= gate, acc, -1.0)

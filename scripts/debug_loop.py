@@ -8,6 +8,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from orb_slam3_vio_fixes_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 from orb_slam3_vio_fixes_tpu.frontend import loop_closing as lc
 from orb_slam3_vio_fixes_tpu.frontend import tracking
 from orb_slam3_vio_fixes_tpu.io import synthetic
@@ -16,11 +20,11 @@ from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
 from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
 from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
 
-N_FRAMES = 72
+N_FRAMES = 88
 rng = np.random.default_rng(5)
 seq = synthetic.make_loop_stereo_sequence(
     rng, n_frames=N_FRAMES, h=240, w=352, fx=260.0, baseline=0.2,
-    radius=3.0, wall_radius=9.0, n_points=1400)
+    radius=3.0, wall_radius=9.0, n_points=1400, n_loop=72)
 noise = rng.normal(0, 2.0, seq.imgs_l.shape).astype(np.float32)
 noise_r = rng.normal(0, 2.0, seq.imgs_r.shape).astype(np.float32)
 seq = seq._replace(imgs_l=seq.imgs_l + noise, imgs_r=seq.imgs_r + noise_r)
@@ -53,11 +57,15 @@ class DebugCloser(lc.LoopCloser):
         msg = f"kf={kf_id} cands={cands} old_covis={old_cov[:6]}"
         for cand in cands:
             self.key, sub = jax.random.split(self.key)
-            n_m, n_ransac, sim = lc.verify_candidate(
+            n_m, n_ransac, n_proj, sim = lc.verify_candidate(
                 sub, state, jnp.int32(kf_id), jnp.int32(cand), self.cam,
-                self.inv_sigma2_oct, cfg.n_hyp, cfg.fix_scale)
+                self.inv_sigma2_oct, cfg.n_hyp, cfg.fix_scale,
+                n_levels=self.n_levels, scale=self.scale,
+                guided_radius=cfg.guided_radius,
+                verify_radius=cfg.verify_radius,
+                proj_max_dist=cfg.proj_max_dist)
             msg += (f" | cand {cand}: n_m={int(n_m)} ransac={int(n_ransac)} "
-                    f"refined={int(sim.n_inliers)}")
+                    f"proj={int(n_proj)} refined={int(sim.n_inliers)}")
         print(msg, flush=True)
         return super().on_keyframe(state, kf_id, n_kf, fixed_extra)
 

@@ -25,20 +25,24 @@ from orb_slam3_vio_fixes_tpu.slam_map import vocabulary as voc
 from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
 
 
-N_FRAMES = 72
+N_FRAMES = 88
 
 
-@pytest.fixture(scope="module")
-def seq():
-    rng = np.random.default_rng(5)
+def _make_seq(seed):
+    rng = np.random.default_rng(seed)
     s = synthetic.make_loop_stereo_sequence(
         rng, n_frames=N_FRAMES, h=240, w=352, fx=260.0, baseline=0.2,
-        radius=3.0, wall_radius=9.0, n_points=1400,
+        radius=3.0, wall_radius=9.0, n_points=1400, n_loop=72,
     )
     # mild sensor noise accelerates odometry drift so the loop has work to do
     noise = rng.normal(0, 2.0, s.imgs_l.shape).astype(np.float32)
     noise_r = rng.normal(0, 2.0, s.imgs_r.shape).astype(np.float32)
     return s._replace(imgs_l=s.imgs_l + noise, imgs_r=s.imgs_r + noise_r)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return _make_seq(5)
 
 
 def _cfg(seq):
@@ -84,7 +88,7 @@ def _run(seq, cfg, closer):
     return tr, rmse
 
 
-def test_loop_closure_improves_exported_ate(seq):
+def _check_loop(seq):
     cfg = _cfg(seq)
     vocab = _vocab(seq, cfg)
     inv_s2 = tracking.octave_inv_sigma2(cfg.orb)
@@ -94,16 +98,22 @@ def test_loop_closure_improves_exported_ate(seq):
     assert tr_off.track_state == tracking.TrackState.OK
 
     # run WITH loop closing (reference gates: 3-consecutive-KF consistency)
+    lcfg = lc.LoopConfig(min_gap_kfs=8, n_consistency=2, fix_scale=True)
     closer = lc.LoopCloser(
         vocab, Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
                               seq.K[1, 2]),
-        cfg.map.max_keyframes, inv_s2,
-        lc.LoopConfig(min_gap_kfs=8, n_consistency=2, fix_scale=True),
+        cfg.map.max_keyframes, inv_s2, lcfg,
         bf=seq.K[0, 0] * seq.baseline,
         n_levels=cfg.orb.n_levels, scale=cfg.orb.scale)
     tr_on, ate_on = _run(seq, cfg, closer)
     assert tr_on.track_state == tracking.TrackState.OK
     assert closer.n_corrections >= 1, "loop never closed on a circular revisit"
+    # margin, not knife-edge: the best accepted hit must clear every gate
+    # with >= 2x headroom (round-2 verdict done-criterion)
+    best = max(closer.hits, key=lambda h: h["n_m"])
+    assert best["n_m"] >= 2 * lcfg.min_bow_matches, closer.hits
+    assert best["n_ransac"] >= 2 * lcfg.min_sim3_inliers, closer.hits
+    assert best["n_proj"] >= 2 * lcfg.min_proj_matches, closer.hits
     # the exported trajectory must benefit from the correction
     assert ate_on < ate_off, (
         f"loop closing did not improve exported ATE: "
@@ -116,3 +126,15 @@ def test_loop_closure_improves_exported_ate(seq):
         (-tr_on.trajectory[-1][1].T @ tr_on.trajectory[-1][2])
         - seq.t_wc[-1])
     assert gap_on < gap_off
+
+
+def test_loop_closure_improves_exported_ate(seq):
+    _check_loop(seq)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 23])
+def test_loop_closure_other_seeds(seed):
+    """Seed sweep (round-2 verdict: one seed = environment drift flips the
+    capability silently)."""
+    _check_loop(_make_seq(seed))

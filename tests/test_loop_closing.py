@@ -134,12 +134,13 @@ def test_detection_finds_revisited_place(scenario):
 def test_sim3_verification_recovers_drift(scenario):
     state = scenario["state"]
     kf_last = scenario["kf_last"]
-    n_m, n_ransac, sim = lc.verify_candidate(
+    n_m, n_ransac, n_proj, sim = lc.verify_candidate(
         jax.random.PRNGKey(0), state, jnp.int32(kf_last), jnp.int32(0),
-        CAM, jnp.ones(4), 256, True,
+        CAM, jnp.ones(4), 256, True, n_levels=4,
     )
     assert int(n_m) >= 40
     assert int(n_ransac) >= 40
+    assert int(n_proj) >= 40     # strict projection re-verification
     assert int(sim.n_inliers) >= 40  # survives the OptimizeSim3 refinement
     # S_cur_cand should equal the TRUE relative pose T_cw(last,gt) T_wc(0,gt)
     R_rel = scenario["R_gt"][kf_last] @ scenario["R_gt"][0].T
