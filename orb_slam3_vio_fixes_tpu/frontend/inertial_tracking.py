@@ -299,14 +299,9 @@ class StereoInertialTracker(trk.StereoTracker):
     def __init__(self, cam: Camera, bf: float, calib: pre.ImuCalib,
                  cfg: trk.TrackerConfig = trk.TrackerConfig(),
                  icfg: InertialConfig = InertialConfig(), loop_closer=None,
-                 rig=None):
-        # the inertial chain (kf_windows, _merged_init_pairs, inertial window
-        # BA) assumes dense temporally-ordered keyframe slots; keyframe
-        # culling with chain-splicing + preintegration merge (reference:
-        # src/LocalMapping.cc:1020-1041) is not implemented yet — keep slots
-        # dense in inertial modes
-        cfg = cfg._replace(enable_kf_culling=False)
-        super().__init__(cam, bf, cfg, loop_closer=loop_closer, rig=rig)
+                 rig=None, relocalizer=None, atlas=None):
+        super().__init__(cam, bf, cfg, loop_closer=loop_closer, rig=rig,
+                         relocalizer=relocalizer, atlas=atlas)
         self.calib = calib
         self.icfg = icfg
         self.imu_ready = False
@@ -323,6 +318,74 @@ class StereoInertialTracker(trk.StereoTracker):
         self.n_scale_refines = 0
         self.max_scale_refines = 4
         self.kfs_since_init = 0
+
+    # -- inertial keyframe culling (reference: src/LocalMapping.cc:1020-1041:
+    # splice the temporal chain and MERGE the two adjoining preintegration
+    # windows; ImuTypes MergePrevious src/ImuTypes.cc:237) --
+
+    def _can_cull(self) -> bool:
+        # the IMU-initialization stages consume the dense pre-init chain;
+        # culling starts once the map is gravity-aligned
+        return self.imu_ready
+
+    def _loop_enabled(self) -> bool:
+        # no place recognition on a pre-init (non-metric, gravity-unaligned)
+        # inertial map (reference: src/LoopClosing.cc:341-346)
+        return self.imu_ready
+
+    def _local_search_th(self) -> float:
+        """Local-search radius for the inertial modes. The reference widens
+        to th=10/6 before/around IMU init (src/Tracking.cc:3388-3413) because
+        ITS 2.5/4.0 px base radii are tight; our base window is already wide
+        and our descriptors are less view-invariant, so widening in the
+        HEALTHY states admits wrong matches and measurably degrades the
+        mono-inertial scale (ATE 0.10 -> 0.30 on the e2e gate). Only the
+        genuinely-degraded states (RECENTLY_LOST, just-relocalized) widen,
+        via the base schedule."""
+        base = super()._local_search_th()
+        if base > 1.5:          # RECENTLY_LOST / recent-reloc widening
+            return base
+        return 1.0
+
+    def _next_live(self, k):
+        pos = self.kf_order.index(k)
+        return self.kf_order[pos + 1] if pos + 1 < len(self.kf_order) else -1
+
+    def _filter_culls(self, cull):
+        """Veto culls whose merged IMU window would overflow the fixed
+        sample capacity (the preintegration kernels are fixed-shape), and
+        the newest keyframe (its window is still filling)."""
+        S = self.icfg.kf_samples
+        keep = []
+        for k in cull:
+            s = self._next_live(k)
+            if s < 0:
+                continue
+            wk = self.kf_windows.get(k)
+            ws = self.kf_windows.get(s)
+            n_k = int((wk[:, 6] > 0).sum()) if wk is not None else 0
+            n_s = int((ws[:, 6] > 0).sum()) if ws is not None else 0
+            if n_k + n_s > S:
+                continue
+            keep.append(k)
+        return keep
+
+    def _on_culled(self, cull):
+        """Merge each culled keyframe's IMU window into its successor's, so
+        the successor's preintegration spans from the culled KF's
+        predecessor (chain splice parity with excise_keyframes' kf_prev
+        splice)."""
+        for k in cull:
+            s = self._next_live(k)
+            wk = self.kf_windows.pop(k, None)
+            if s < 0 or wk is None:
+                continue
+            ws = self.kf_windows.get(s)
+            rows = [wk[wk[:, 6] > 0]]
+            if ws is not None:
+                rows.append(ws[ws[:, 6] > 0])
+            cat = np.concatenate(rows)
+            self.kf_windows[s] = self._pad_kf_imu(cat)
 
     # -- helpers --
 
@@ -380,6 +443,33 @@ class StereoInertialTracker(trk.StereoTracker):
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
         self.kf_imu_buf.extend(list(imu_np))
+        self.frames_since_reloc += 1
+        if (self.track_state == trk.TrackState.RECENTLY_LOST
+                and self.relocalizer is not None):
+            # visual relocalization during the dead-reckoning window
+            # (reference: Relocalization in the RECENTLY_LOST branch,
+            # src/Tracking.cc:1988-2011 — sensor-agnostic)
+            hit = self.relocalizer.relocalize(
+                self.state, frame, self.cam, self.bf, cfg)
+            if hit is not None:
+                R, t, cur_obs, n_inl = hit
+                self.track_state = trk.TrackState.OK
+                self._lost_since = None
+                self.lost_frames = 0
+                self.frames_since_reloc = 0
+                self.vel = None
+                self.last_n_inliers = n_inl
+                R_wb, p_wb = body_from_cam(
+                    R, t, self.calib.R_bc.T,
+                    -self.calib.R_bc.T @ self.calib.t_bc)
+                # keep the dead-reckoned velocity/biases; the marginal prior
+                # is reset (pose jumped, the old linearization is void)
+                self.body = BodyState(R_wb, p_wb, self.body.v,
+                                      self.body.bg, self.body.ba)
+                self.prior_H = jnp.eye(15) * 1e2
+                self._set_frame(frame, R, t, cur_obs)
+                self._record(ts)
+                return np.asarray(self.R), np.asarray(self.t), self.track_state
         bg, ba = self.body.bg, self.body.ba
         pre_frame = pre.integrate(self._pad_frame_imu(imu_np), bg, ba, self.calib)
 
@@ -418,7 +508,7 @@ class StereoInertialTracker(trk.StereoTracker):
             window = self._local_window()
             R2, t2, cur_obs, n_inl2 = trk.track_local_map(
                 self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-                jnp.float32(1.0), cfg,
+                jnp.float32(self._local_search_th()), cfg,
             )
             cur_body, cur_obs, n_inl2, next_H = vi_motion_opt(
                 self.state, self.body, self.prior_H, cur_body, pre_frame,
@@ -435,7 +525,7 @@ class StereoInertialTracker(trk.StereoTracker):
             window = self._local_window()
             R2, t2, cur_obs, n_inl2 = trk.track_local_map(
                 self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-                jnp.float32(1.0), cfg,
+                jnp.float32(self._local_search_th()), cfg,
             )
             # keep a body-state shadow for the init stage
             R_wb, p_wb = body_from_cam(
@@ -584,10 +674,14 @@ class StereoInertialTracker(trk.StereoTracker):
 
         Returns (nodes, windows (maxP, 2*S, 7), idx_i, idx_j, valid).
         """
-        kf_ts = np.asarray(self.state.kf_ts[:K])
-        nodes = [0]
-        for k in range(1, K):
-            if kf_ts[k] - kf_ts[nodes[-1]] >= min_dt or k == K - 1:
+        kf_ts = np.asarray(self.state.kf_ts)
+        # LIVE keyframes below K in temporal order (slots can be sparse
+        # after inertial culling; pre-init the chain is dense)
+        live = [k for k in self.kf_order if k < K]
+        pos = {k: idx for idx, k in enumerate(live)}
+        nodes = [live[0]]
+        for k in live[1:]:
+            if kf_ts[k] - kf_ts[nodes[-1]] >= min_dt or k == live[-1]:
                 nodes.append(k)
         S2 = 2 * self.icfg.kf_samples
         maxP = self.cfg.map.max_keyframes - 1
@@ -598,7 +692,7 @@ class StereoInertialTracker(trk.StereoTracker):
         for n in range(len(nodes) - 1):
             i, j = nodes[n], nodes[n + 1]
             rows = []
-            for m in range(i + 1, j + 1):
+            for m in live[pos[i] + 1: pos[j] + 1]:
                 w = np.asarray(self.kf_windows.get(m, np.zeros((0, 7), np.float32)))
                 if len(w):
                     rows.append(w[w[:, 6] > 0])
@@ -689,9 +783,84 @@ class StereoInertialTracker(trk.StereoTracker):
                 valid[i] = True
         return jnp.asarray(out), jnp.asarray(valid)
 
+    def _full_map_imu_factors(self):
+        """Preintegration factors between ALL consecutive live keyframes,
+        integrated at each pair's i-side bias (the full-map chain of
+        FullInertialBA, reference src/Optimizer.cc:532-563)."""
+        from orb_slam3_vio_fixes_tpu.optim import vi_ba
+
+        maxP = self.cfg.map.max_keyframes - 1
+        S = self.icfg.kf_samples
+        wins = np.zeros((maxP, S, 7), np.float32)
+        idx_i = np.zeros(maxP, np.int32)
+        idx_j = np.zeros(maxP, np.int32)
+        valid = np.zeros(maxP, bool)
+        n = 0
+        for a, b in zip(self.kf_order[:-1], self.kf_order[1:]):
+            w = self.kf_windows.get(b)
+            if w is None or n >= maxP:
+                continue
+            wins[n] = w
+            idx_i[n], idx_j[n] = a, b
+            valid[n] = bool((w[:, 6] > 0).any())
+            n += 1
+        idx_i_j = jnp.asarray(idx_i)
+        bgs = self.state.kf_bg[idx_i_j]
+        bas = self.state.kf_ba[idx_i_j]
+        pres = jax.vmap(pre.integrate, in_axes=(0, 0, 0, None))(
+            jnp.asarray(wins), bgs, bas, self.calib)
+        return vi_ba.VIInertialFactors.from_preintegrations(
+            idx_i, idx_j, pres, valid)
+
+    def _run_full_inertial_ba(self, pose_fixed=None):
+        """Full-map 15-DoF visual-inertial BA (reference: FullInertialBA
+        src/Optimizer.cc:392-812; run after IMU init
+        src/LocalMapping.cc:1304-1310 and as the inertial GBA
+        src/LoopClosing.cc:2284-2286)."""
+        from orb_slam3_vio_fixes_tpu.optim import vi_global_ba as vg
+
+        if len(self.kf_order) < 3:
+            return
+        K = self.cfg.map.max_keyframes
+        if pose_fixed is None:
+            pose_fixed = np.zeros(K, bool)
+            pose_fixed[self.kf_order[0]] = True
+        inertial = self._full_map_imu_factors()
+        self.state, _ = vg.run_global_vi_ba(
+            self.state, inertial, trk.octave_inv_sigma2(self.cfg.orb),
+            self.cam, self.bf, self.calib, jnp.asarray(pose_fixed),
+            n_levels=self.cfg.orb.n_levels, scale=self.cfg.orb.scale)
+
+    def _post_loop_gba(self, kf_id):
+        """Inertial GBA after a loop correction = FullInertialBA over the
+        whole map (reference: src/LoopClosing.cc:2284-2286); the visual
+        run_global_ba is disabled for inertial maps in system.py."""
+        if self.imu_ready:
+            self._run_full_inertial_ba()
+
+    def _post_merge(self, new_kf, kf_off, n_cur, weld_adj, weld_fixed):
+        # IMU windows follow the active map's keyframes into their shifted
+        # slots before anything else touches them
+        self.kf_windows = {k + kf_off: w for k, w in self.kf_windows.items()}
+        if not self.imu_ready:
+            super()._post_merge(new_kf, kf_off, n_cur, weld_adj, weld_fixed)
+            return
+        # MergeInertialBA analogue (reference: src/Optimizer.cc:3956-4497,
+        # called from MergeLocal2 :2051): 15-DoF BA over the seam window
+        # with everything else fixed
+        K = self.cfg.map.max_keyframes
+        pose_fixed = np.ones(K, bool)
+        wnd = np.concatenate([np.asarray(weld_adj), np.asarray(weld_fixed)])
+        pose_fixed[np.clip(wnd[wnd >= 0], 0, K - 1)] = False
+        pose_fixed[self.kf_order[0]] = True
+        self._run_full_inertial_ba(pose_fixed=pose_fixed)
+
     def _run_inertial_ba(self, kf_id):
         W = self.icfg.vi_window
-        ids = [kf_id - i if kf_id - i >= 0 else -1 for i in range(W)]
+        # most-recent-first LIVE keyframes (slots may be sparse after
+        # inertial culling; kf_windows[k] spans from k's live predecessor)
+        recent = self.kf_order[-W:][::-1]
+        ids = (recent + [-1] * W)[:W]
         kf_imu, imu_valid = self._window_imu(ids)
         self.state = inertial_local_ba(
             self.state, jnp.asarray(np.asarray(ids, np.int32)), kf_imu,
@@ -785,8 +954,12 @@ class StereoInertialTracker(trk.StereoTracker):
         self.prior_H = jnp.eye(15) * 1e2
         self.vel = None
         self.imu_ready = True
-        # VIBA over the window (reference: FullInertialBA after init)
+        # window VIBA first (stabilizes the window around the newest KF),
+        # then FullInertialBA over the WHOLE map (reference:
+        # src/LocalMapping.cc:1304-1310 runs FullInertialBA(100 it); the
+        # matrix-free 15-DoF CG Schur solver scales it to the full chain)
         self._run_inertial_ba(kf_last)
+        self._run_full_inertial_ba()
         self.R = self.state.kf_R[kf_last]
         self.t = self.state.kf_t[kf_last]
         R_wb_l, p_wb_l = body_from_cam(self.R, self.t, R_cb, t_cb)
@@ -823,9 +996,8 @@ class MonoInertialTracker(StereoInertialTracker):
                                   init_min_time=2.0)
         assert not icfg.fix_scale, "mono-inertial must estimate scale"
         cfg = cfg._replace(kf_inlier_ratio=0.9)
-        super().__init__(cam, 0.0, calib, cfg, icfg, loop_closer=loop_closer)
-        self.relocalizer = relocalizer
-        self.atlas = atlas
+        super().__init__(cam, 0.0, calib, cfg, icfg, loop_closer=loop_closer,
+                         relocalizer=relocalizer, atlas=atlas)
         self._mono = MonocularTracker  # class handle for borrowed methods
         self.init_window = init_window
         self.ref_frame = None

@@ -22,6 +22,7 @@ structures (no Map::mMutexMapUpdate equivalent needed).
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -68,10 +69,11 @@ def octave_inv_sigma2(cfg: orb.ORBConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def predict_scale(dist, maxdist, n_levels=8, log_scale=jnp.log(1.2)):
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
+def predict_scale(dist, maxdist, n_levels=8, scale=1.2):
     """Predicted pyramid octave from observation distance
     (reference: MapPoint::PredictScale src/MapPoint.cc:514)."""
+    log_scale = jnp.log(scale)
     ratio = jnp.maximum(maxdist / jnp.maximum(dist, 1e-9), 1e-9)
     lvl = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
     return jnp.clip(lvl, 0, n_levels - 1)
@@ -290,7 +292,8 @@ def track_local_map(
         & (dist <= 1.2 * state.lm_maxdist[cand_idx])
         & (view_cos > 0.5)
     )
-    octv = predict_scale(dist, state.lm_maxdist[cand_idx], cfg.orb.n_levels)
+    octv = predict_scale(dist, state.lm_maxdist[cand_idx], cfg.orb.n_levels,
+                         cfg.orb.scale)
     sf = image_ops.scale_factors(cfg.orb.n_levels, cfg.orb.scale)
     base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius = th * base_r * sf[octv]
@@ -401,7 +404,9 @@ def select_ba_window(
     valid = state.kf_valid
     row = jnp.where(valid, cov[cur], -1.0)
     row = row.at[cur].set(-1.0).at[first].set(-1.0)
-    top_s, top_i = jax.lax.top_k(row, cfg.ba_window - 1)
+    # clamp window/anchor counts to the live tier capacity: small tiers
+    # (growth test: 8 slots, ba_anchors=16) must not over-ask top_k
+    top_s, top_i = jax.lax.top_k(row, min(cfg.ba_window - 1, K - 1))
     adj = jnp.concatenate([
         cur[None].astype(jnp.int32),
         jnp.where(top_s > 0, top_i, -1).astype(jnp.int32)])
@@ -410,7 +415,7 @@ def select_ba_window(
     fscore = jnp.where(valid & ~adj_mask, fscore, -1.0)
     fscore = fscore.at[first].set(
         jnp.where(adj_mask[first], -1.0, jnp.inf))  # gauge anchor
-    fs, fi = jax.lax.top_k(fscore, cfg.ba_anchors)
+    fs, fi = jax.lax.top_k(fscore, min(cfg.ba_anchors, K))
     fixed = jnp.where(fs > 0, fi, -1).astype(jnp.int32)
     return adj, fixed
 
@@ -512,6 +517,8 @@ class StereoTracker:
         self.lost_frames = 0
         self.max_lost_frames = 20       # reference: time_recently_lost (~1 s)
         self.match_radius = (7.0, 14.0)  # motion-model search th (widened)
+        self.th_local_base = 1.0        # local-map search radius multiplier
+        self.frames_since_reloc = 1000  # recent-reloc widening window
         self.map_id = 0                  # active-map ordinal (Atlas)
         self.localization_only = False   # reference: ActivateLocalizationMode
         self.state = ms.empty(cfg.map)
@@ -538,6 +545,34 @@ class StereoTracker:
         self.traj = []
         self.ref_kf = -1                 # current reference keyframe slot
         self._ref_pose = (np.eye(3), np.zeros(3))  # T_rw of ref at track time
+        # REGISTER_TIMES parity (reference: include/Settings.h:24 +
+        # src/Tracking.cc:263-352): assign a runtime.actors.StageTimes to
+        # enable per-stage attribution. Profiling BLOCKS at stage boundaries
+        # (async dispatch otherwise hides device time in the next sync), so
+        # leave it None for throughput runs.
+        self.times = None
+        # software pipelining (see process_frame): defer each frame's
+        # device->host sync until the next frame is dispatched. Decisions run
+        # in the same order as sync mode; only the per-call return value lags
+        # one frame. flush() finalizes the in-flight frame.
+        self.pipelined = False
+        self._pending = None
+        self._last_pose = (np.eye(3), np.zeros(3))
+
+    def _mark(self, name: str, t0: float, out) -> float:
+        """Profiling stage boundary: block + record when self.times is set.
+
+        Sync is a 1-element device_get, not block_until_ready: on the
+        tunneled TPU backend block_until_ready returns before the device is
+        actually done (verified: it can 'measure' impossible TFLOP/s), so a
+        tiny D2H read is the only honest barrier."""
+        if self.times is None:
+            return 0.0
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[0:1])
+        t1 = time.perf_counter()
+        self.times.add(name, t1 - t0)
+        return t1
 
     # -- keyframe ids are dense [0, n_kf) --
 
@@ -545,6 +580,19 @@ class StereoTracker:
         """Device-side covisibility window selection for local BA."""
         return select_ba_window(
             self.state, jnp.int32(cur), jnp.int32(self.kf_order[0]), self.cfg)
+
+    def _local_search_th(self) -> float:
+        """Local-map search-radius multiplier schedule (reference:
+        Tracking::SearchLocalPoints src/Tracking.cc:3388-3413 — wider when
+        the pose prior is weak: RGBD, shortly after relocalization,
+        RECENTLY_LOST; the inertial tracker overrides with the IMU staging.
+        The reference's absolute 1/3/5/15 values assume its 2.5/4.0 px base
+        radii; ours are wider, so the schedule uses 1/1.5/2/3 factors)."""
+        if self.track_state == TrackState.RECENTLY_LOST:
+            return 3.0
+        if self.frames_since_reloc < 2:
+            return 2.0
+        return self.th_local_base
 
     def _local_window(self):
         w = self.cfg.ba_window + self.cfg.ba_fixed
@@ -573,7 +621,10 @@ class StereoTracker:
         )
 
     def process_stereo(self, img_l, img_r, ts: float):
-        return self.process_frame(self._build_stereo(img_l, img_r, ts), ts)
+        t0 = time.perf_counter() if self.times is not None else 0.0
+        frame = self._build_stereo(img_l, img_r, ts)
+        self._mark("track.1_frame_build", t0, frame.desc)
+        return self.process_frame(frame, ts)
 
     def process_rgbd(self, img, depth, ts: float):
         """RGB-D entry (reference: System::TrackRGBD src/System.cc:328 +
@@ -586,8 +637,18 @@ class StereoTracker:
         )
         return self.process_frame(frame, ts)
 
+    def flush(self):
+        """Finalize the in-flight pipelined frame (no-op in sync mode)."""
+        if self._pending is not None:
+            p, self._pending = self._pending, None
+            self._finalize_track(*p)
+
     def process_frame(self, frame: FrameData, ts: float):
         cfg = self.cfg
+        # finalize the previous pipelined frame FIRST: its decisions
+        # (fallback, lost transition, keyframe insert) must land before this
+        # frame's tracking is dispatched — same order as sync mode
+        self.flush()
         if self.track_state == TrackState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             self._record(ts)
@@ -606,6 +667,7 @@ class StereoTracker:
                 R, t, cur_obs, n_inl = hit
                 self.track_state = TrackState.OK
                 self.lost_frames = 0
+                self.frames_since_reloc = 0   # widened search for 2 frames
                 self.vel = None
                 self.last_n_inliers = n_inl
                 self._set_frame(frame, R, t, cur_obs)
@@ -630,15 +692,42 @@ class StereoTracker:
         else:
             R_pred, t_pred = self.R, self.t
 
+        t0 = time.perf_counter() if self.times is not None else 0.0
+        self.frames_since_reloc += 1
         window = self._local_window()
         R2, t2, cur_obs, packed = track_step(
             self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
             frame, window, self.cam, self.bf,
             jnp.float32(self.match_radius[0]),
-            jnp.float32(self.match_radius[1]), jnp.float32(1.0), cfg,
+            jnp.float32(self.match_radius[1]),
+            jnp.float32(self._local_search_th()), cfg,
         )
+        self._mark("track.2_track_step", t0, packed)
+        if self.pipelined:
+            # Software pipelining: defer the device->host sync (and every
+            # decision that depends on it) until the NEXT frame has been
+            # dispatched — the device computes this frame while the host
+            # decodes/uploads/builds the next one, hiding the link RTT (the
+            # reference hides the same latency by running mapping in another
+            # thread, src/System.cc:194-237; on an async device the tracker
+            # itself can be the overlapped stage).
+            self._pending = (frame, ts, R2, t2, cur_obs, packed,
+                             R_pred, t_pred, window)
+            return self._last_pose + (self.track_state,)
+        return self._finalize_track(frame, ts, R2, t2, cur_obs, packed,
+                                    R_pred, t_pred, window)
+
+    def _finalize_track(self, frame, ts, R2, t2, cur_obs, packed,
+                        R_pred, t_pred, window):
+        """Sync the tracking result and run every host decision for the
+        frame: fallback matching, lost handling, velocity/bookkeeping,
+        keyframe insertion, trajectory record."""
+        cfg = self.cfg
         # ONE device->host pull per frame: pose + decision scalars
+        t0 = time.perf_counter() if self.times is not None else 0.0
         packed = np.asarray(packed)
+        if self.times is not None:
+            self.times.add("track.3_sync_pull", time.perf_counter() - t0)
         self._frame_stats = packed[12:].astype(np.int64)
         n_inl2_i = int(self._frame_stats[1])
         self.last_n_inliers = n_inl2_i
@@ -649,7 +738,8 @@ class StereoTracker:
             # TrackReferenceKeyFrame, src/Tracking.cc:1953-1955)
             R2, t2, cur_obs, packed = track_reference_kf(
                 self.state, jnp.int32(self.ref_kf), R_pred, t_pred, frame,
-                window, self.cam, self.bf, jnp.float32(1.0), cfg,
+                window, self.cam, self.bf,
+                jnp.float32(self._local_search_th()), cfg,
             )
             packed = np.asarray(packed)
             self._frame_stats = packed[12:].astype(np.int64)
@@ -661,7 +751,8 @@ class StereoTracker:
             # keep predicted pose; do not update velocity
             self._set_frame(frame, R_pred, t_pred, cur_obs)
             self._record(ts)
-            return np.asarray(self.R), np.asarray(self.t), self.track_state
+            self._last_pose = (np.asarray(self.R), np.asarray(self.t))
+            return self._last_pose + (self.track_state,)
 
         self.track_state = TrackState.OK
         self.lost_frames = 0
@@ -680,6 +771,7 @@ class StereoTracker:
         R_np = packed[:9].reshape(3, 3).astype(np.float64)
         t_np = packed[9:12].astype(np.float64)
         self._record_np(ts, R_np, t_np)
+        self._last_pose = (R_np, t_np)
         return R_np, t_np, self.track_state
 
     # -- internals --
@@ -705,6 +797,7 @@ class StereoTracker:
         poses — loop closures / GBA retroactively correct the whole exported
         trajectory (reference: System::SaveTrajectoryEuRoC
         src/System.cc:608-662)."""
+        self.flush()   # in-flight pipelined frame must be recorded too
         if not self.traj:
             return []
         kf_R = np.asarray(self.state.kf_R, np.float64)
@@ -722,6 +815,11 @@ class StereoTracker:
         called before the active map (and its keyframe slots) goes away
         (stash / reset). The reference keeps per-map frame lists instead;
         freezing preserves the corrected-so-far trajectory the same way."""
+        self.flush()   # the in-flight frame references slots of THIS map
+        # invalidate the reference-KF cache unconditionally: callers (reset,
+        # stash, load) reuse keyframe slots afterwards, and a stale ref_kf
+        # would bind future frames to an unrelated new-map keyframe
+        self.ref_kf = -1
         if not any(e[1] >= 0 for e in self.traj):
             return
         kf_R = np.asarray(self.state.kf_R, np.float64)
@@ -732,7 +830,6 @@ class StereoTracker:
                 e[1] = -1
                 e[2] = Rr @ kf_R[ref]
                 e[3] = Rr @ kf_t[ref] + tr
-        self.ref_kf = -1
 
     def _refresh_ref_pose(self, kf_id: int, pose_np=None):
         """Cache T_rw of the reference keyframe for relative recording.
@@ -777,6 +874,12 @@ class StereoTracker:
         self.frames_since_kf = 0
         self.ref_inliers = self.n_lm
         self._refresh_ref_pose(0, (np.eye(3), np.zeros(3)))
+        # register KF0 in the place-recognition database: _insert_keyframe
+        # does this for every later keyframe, but the init keyframe is
+        # created here — without it the revisit of the map ORIGIN (the
+        # classic loop seam) has no database entry to retrieve
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.state, 0)
         return True
 
     def _need_keyframe(self, frame, cur_obs, n_inliers):
@@ -851,7 +954,29 @@ class StereoTracker:
             protect[i] = k
         mask = np.asarray(lm_mod.redundant_keyframes(
             self.state, jnp.asarray(protect), self._lm_cfg()))
-        cull = [k for k in self.kf_order if mask[k]][: cfg.kf_cull_max]
+        cand = [k for k in self.kf_order if mask[k]]
+        if not cand:
+            return
+        # Redundancy was evaluated ONCE for the whole batch; removing one
+        # member of a mutually-redundant group can make the others load-
+        # bearing (the reference culls one KF at a time and re-reads observer
+        # counts, src/LocalMapping.cc:902-1054). Guard: never cull two
+        # temporally-adjacent keyframes in one batch, and never cull two that
+        # are covisible above the graph edge threshold (15 shared points,
+        # src/KeyFrame.cc:421) — their redundancy evidence overlaps.
+        posn = {k: i for i, k in enumerate(self.kf_order)}
+        cov_rows = np.asarray(ms.covisibility(self.state)[
+            jnp.asarray(np.asarray(cand, np.int32))])
+        cull = []
+        for j, k in enumerate(cand):
+            if len(cull) >= cfg.kf_cull_max:
+                break
+            if any(abs(posn[k] - posn[c]) <= 1 for c in cull):
+                continue
+            if any(cov_rows[j][c] >= 15 for c in cull):
+                continue
+            cull.append(k)
+        cull = self._filter_culls(cull)
         if not cull:
             return
         # nearest live predecessor of each culled slot (for trajectory rebase)
@@ -886,11 +1011,40 @@ class StereoTracker:
                 e[1] = p
         pad = np.full(cfg.kf_cull_max, -1, np.int32)
         pad[: len(cull)] = cull
+        self._on_culled(cull)
         self.state = ms.excise_keyframes(self.state, jnp.asarray(pad))
         culled_set = set(cull)
         self.kf_order = [k for k in self.kf_order if k not in culled_set]
 
+    def _can_cull(self) -> bool:
+        """Subclass gate: inertial trackers defer culling until IMU init."""
+        return True
+
+    def _loop_enabled(self) -> bool:
+        """Subclass gate: inertial trackers skip place recognition until the
+        map is gravity-aligned and metric (reference: skip until inertial
+        BA, src/LoopClosing.cc:341-346)."""
+        return True
+
+    def _post_loop_gba(self, kf_id: int):
+        """Hook after a loop correction: the visual GBA already ran inside
+        LoopCloser; the inertial tracker overrides this with the full-map
+        visual-inertial BA (reference: FullInertialBA as the GBA,
+        src/LoopClosing.cc:2284-2286)."""
+
+    def _filter_culls(self, cull):
+        """Subclass veto hook: drop keyframes that must not be culled (e.g.
+        inertial windows that would overflow when merged)."""
+        return cull
+
+    def _on_culled(self, cull):
+        """Subclass bookkeeping hook, called BEFORE excision (the inertial
+        tracker merges IMU preintegration windows across the splice here,
+        reference: src/LocalMapping.cc:1020-1041)."""
+
     def _insert_keyframe(self, frame, R, t, cur_obs):
+        prof = self.times is not None
+        t0 = time.perf_counter() if prof else 0.0
         self._maybe_grow()
         kf_id = self.n_kf
         prev_kf = self.kf_order[-1] if self.kf_order else -1
@@ -903,6 +1057,8 @@ class StereoTracker:
             cur_obs, jnp.int32(prev_kf), self.cam, self.bf, self.cfg,
         )
         n_lm_dev = n_lm_dev + n_created
+        if prof:
+            t0 = self._mark("kf.1_create", t0, n_created)
         self.n_kf += 1
         self.kf_order.append(kf_id)
         self.frames_since_kf = 0
@@ -918,21 +1074,36 @@ class StereoTracker:
             n_lm_dev, self.cam, self.bf, lcfg,
         )
         n_lm_dev = n_lm_dev + n_tri
+        if prof:
+            t0 = self._mark("kf.2_triangulate", t0, n_tri)
         self.state = lm_mod.fuse_duplicates(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
         )
+        if prof:
+            t0 = self._mark("kf.3_fuse", t0, self.state.kf_obs)
         adj, fixed = self._ba_window(kf_id)
+        if prof:
+            t0 = self._mark("kf.4_ba_window", t0, fixed)
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
+        if prof:
+            t0 = self._mark("kf.5_local_ba", t0, self.state.lm_pos)
         self.state = lm_mod.cull_landmarks(self.state, jnp.int32(self.n_kf), lcfg)
-        if (self.cfg.enable_kf_culling
+        if prof:
+            t0 = self._mark("kf.6_cull_lm", t0, self.state.lm_valid)
+        if (self.cfg.enable_kf_culling and self._can_cull()
                 and kf_id % self.cfg.kf_cull_every == 0
                 and len(self.kf_order) > self.cfg.ba_window + 2):
             self._cull_keyframes()
+        if prof:
+            t0 = self._mark("kf.7_cull_kf", t0, self.state.kf_valid)
         # loop closing (reference: LoopClosing::InsertKeyFrame queue,
         # src/LocalMapping.cc:250 — synchronous call here, same kernels)
-        if self.loop_closer is not None:
+        if self.loop_closer is not None and self._loop_enabled():
+            t0 = time.perf_counter() if prof else 0.0
             self.state, loop_res = self.loop_closer.on_keyframe(
                 self.state, kf_id, self.n_kf)
+            if prof:
+                self._mark("kf.8_loop", t0, self.state.kf_R)
             if loop_res is not None and loop_res.corrected:
                 # SearchAndFuse across the loop seam: project the loop-side
                 # landmarks into the corrected current keyframe and merge
@@ -957,10 +1128,12 @@ class StereoTracker:
                 # re-base the tracker onto the corrected keyframe pose and
                 # drop the (now invalid) velocity model, like the reference
                 # does after CorrectLoop
+                self._post_loop_gba(kf_id)
                 self.R = self.state.kf_R[kf_id]
                 self.t = self.state.kf_t[kf_id]
                 self.vel = None
         # ONE pull for the keyframe's bookkeeping scalars + reference pose
+        t0 = time.perf_counter() if prof else 0.0
         counts = np.asarray(jnp.concatenate([
             jnp.stack([
                 n_lm_dev.astype(jnp.float32),
@@ -968,6 +1141,8 @@ class StereoTracker:
             self.state.kf_R[kf_id].reshape(-1),
             self.state.kf_t[kf_id],
         ]))
+        if prof:
+            self.times.add("kf.9_pull", time.perf_counter() - t0)
         self.n_lm = int(counts[0])
         self.ref_inliers = max(int(counts[1]), 1)
         self._refresh_ref_pose(kf_id, (
@@ -1052,12 +1227,47 @@ class StereoTracker:
         adj, fixed = self._ba_window(new_kf)
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf,
                               self.cfg)
+        self._post_merge(new_kf, kf_off, n_cur, adj, fixed)
         self._refresh_ref_pose(new_kf)
         return new_kf
+
+    def _post_merge(self, new_kf, kf_off, n_cur, weld_adj, weld_fixed):
+        """After the welding BA: essential-graph optimization over the
+        REMAINDER of the merged-in map — the welding window and the whole
+        stored map stay fixed, the rest of the former active map follows the
+        graph (reference: MergeLocal's essential-graph step over non-window
+        keyframes, src/LoopClosing.cc:1717, overload src/Optimizer.cc:1785).
+        """
+        from orb_slam3_vio_fixes_tpu.frontend import loop_closing as lc_mod
+        from orb_slam3_vio_fixes_tpu.optim import pose_graph as pg
+
+        K = self.state.kf_R.shape[0]
+        free = np.zeros(K, bool)
+        free[kf_off:kf_off + n_cur] = True          # former active map
+        wnd = np.concatenate([np.asarray(weld_adj), np.asarray(weld_fixed)])
+        free[np.clip(wnd[wnd >= 0], 0, K - 1)] = False
+        free &= np.asarray(self.state.kf_valid)
+        if not free.any():
+            return
+        cov = np.asarray(ms.covisibility(self.state))
+        edges = pg.essential_edges_from_map(
+            np.asarray(self.state.kf_R), np.asarray(self.state.kf_t),
+            np.asarray(self.state.kf_valid), np.asarray(self.state.kf_prev),
+            cov, 2048, cov_threshold=100,
+        )
+        R, t, s, _ = pg.optimize_pose_graph(
+            self.state.kf_R, self.state.kf_t, jnp.ones(K),
+            jnp.asarray(~free), edges,
+            pg.PoseGraphConfig(n_iters=10, fix_scale=True),
+        )
+        self.state = lc_mod.apply_correction(
+            self.state, R, t, s, n_levels=self.cfg.orb.n_levels,
+            scale=self.cfg.orb.scale)
 
     # -- output --
 
     def keyframe_trajectory(self):
+        self.flush()
         kf_R = np.asarray(self.state.kf_R)
         kf_t = np.asarray(self.state.kf_t)
         kf_ts = np.asarray(self.state.kf_ts)

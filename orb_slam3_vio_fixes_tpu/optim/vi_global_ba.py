@@ -1,0 +1,394 @@
+"""Full-map visual-inertial bundle adjustment, matrix-free CG Schur.
+
+TPU-native equivalent of the reference's FullInertialBA
+(reference: src/Optimizer.cc:392-812 — 15-DoF vertices per keyframe
+(VertexPose/Velocity/GyroBias/AccBias), EdgeInertial + EdgeGyroRW + EdgeAccRW
+chain :532-563, Huber delta = sqrt(16.92) :542), which the reference runs as
+  * the global BA after an inertial loop correction
+    (src/LoopClosing.cc:2284-2286),
+  * the full-map BA right after IMU initialization
+    (src/LocalMapping.cc:1304-1310), and
+  * (window-restricted) MergeInertialBA after an inertial map merge
+    (src/Optimizer.cc:3956-4497) — here expressed with a pose_fixed mask
+    over the non-window keyframes instead of a separate optimizer.
+
+Re-design: one 15-DoF state per keyframe slot (so3+translation, velocity,
+gyro/acc bias, body frame). Landmarks are Schur-eliminated exactly like the
+visual CG path (optim/ba_core.schur_cg_solve); the reduced camera system
+additionally carries the IMU chain's 15x15 diagonal and off-diagonal blocks,
+applied factor-wise inside the CG matvec — S is never materialized, memory
+stays O(F + K + L).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_vio_fixes_tpu.imu import preintegration as pre
+from orb_slam3_vio_fixes_tpu.optim import vi_ba
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.utils import lie
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+class VIGBAConfig(NamedTuple):
+    n_rounds: int = 2
+    n_iters: int = 6
+    cg_iters: int = 40
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    huber_inertial: float = 16.92
+    lambda0: float = 1e-4
+    bias_prior: float = 1e2   # per-KF prior pulling gyro/acc biases toward
+                              # their entry values (reference: init-mode
+                              # FullInertialBA shares ONE bias + adds priors,
+                              # src/Optimizer.cc:456-466,570+ — a fresh map's
+                              # biases are barely observable per-keyframe)
+
+
+def _body_states(state: ms.MapState, R_cb, t_cb):
+    """kf T_cw -> body (R_wb, p_wb): T_wb = T_wc * T_cb^-1."""
+    # R_wc = kf_R^T, t_wc = -kf_R^T kf_t ; R_wb = R_wc R_cb ; p_wb = t_wc + R_wc t_bc
+    R_wc = jnp.swapaxes(state.kf_R, -1, -2)
+    t_wc = -jnp.einsum("kij,kj->ki", R_wc, state.kf_t)
+    R_bc = jnp.swapaxes(R_cb, -1, -2)       # R_bc = R_cb^T
+    t_bc = -R_bc @ t_cb
+    R_wb = jnp.einsum("kij,jl->kil", R_wc, R_cb.T)
+    p_wb = t_wc + jnp.einsum("kij,j->ki", R_wb, t_bc)
+    return R_wb, p_wb
+
+
+def _cam_states(R_wb, p_wb, R_cb, t_cb):
+    """body -> kf T_cw: T_cw = T_cb * T_bw."""
+    R_bw = jnp.swapaxes(R_wb, -1, -2)
+    kf_R = jnp.einsum("ij,kjl->kil", R_cb, R_bw)
+    kf_t = -jnp.einsum("kij,kj->ki", kf_R, p_wb) \
+        + jnp.zeros_like(p_wb) + t_cb
+    return kf_R, kf_t
+
+
+def _reproj_blocks(R_wb, p_wb, lm, factors, cam, bf, R_cb, t_cb,
+                   pose_fixed, lm_fixed, inlier, cfg: VIGBAConfig):
+    """Per-factor Gauss-Newton blocks of the reprojection term in BODY-state
+    perturbation coordinates (matching vi_ba._apply_eps).
+
+    Returns (Hpl_f (F,6,3), Hpp (K,6,6), Hll (L,3,3), bp (K,6), bl (L,3),
+    chi2 (F,))."""
+    K = R_wb.shape[0]
+    L = lm.shape[0]
+    pidx = factors.state_idx
+    lidx = factors.lm_idx
+    uvr = factors.uvr
+    is_stereo = uvr[:, 2] >= 0.0
+
+    def res(eps6, dlm, Rk, pk, X, uvr_f):
+        r = vi_ba._reproj_residual(
+            jnp.concatenate([eps6, jnp.zeros(9)]), dlm, Rk, pk,
+            jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), X, uvr_f,
+            cam, bf, R_cb, t_cb)
+        return r
+
+    z6 = jnp.zeros(6)
+    z3 = jnp.zeros(3)
+    Rk = R_wb[pidx]
+    pk = p_wb[pidx]
+    X = lm[lidx]
+    r0 = jax.vmap(lambda R_, p_, X_, u_: res(z6, z3, R_, p_, X_, u_))(
+        Rk, pk, X, uvr)
+    Jp = jax.vmap(lambda R_, p_, X_, u_: jax.jacfwd(
+        lambda e: res(e, z3, R_, p_, X_, u_))(z6))(Rk, pk, X, uvr)
+    Jl = jax.vmap(lambda R_, p_, X_, u_: jax.jacfwd(
+        lambda d: res(z6, d, R_, p_, X_, u_))(z3))(Rk, pk, X, uvr)
+    # mono: zero the right-coordinate row
+    row_w = jnp.where(is_stereo[:, None],
+                      jnp.ones((1, 3)), jnp.array([[1.0, 1.0, 0.0]]))
+    r0 = r0 * row_w
+    Jp = Jp * row_w[:, :, None]
+    Jl = Jl * row_w[:, :, None]
+    chi2 = factors.inv_sigma2 * jnp.sum(r0 * r0, -1)
+    delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    w = factors.inv_sigma2 * vi_ba._huber_w(chi2, delta2)
+    w = jnp.where(factors.valid & inlier, w, 0.0)
+    Jp = jnp.where(pose_fixed[pidx][:, None, None], 0.0, Jp)
+    Jl = jnp.where(lm_fixed[lidx][:, None, None], 0.0, Jl)
+    Jp = jnp.where((w > 0)[:, None, None], Jp, 0.0)
+    Jl = jnp.where((w > 0)[:, None, None], Jl, 0.0)
+    r0 = jnp.where((w > 0)[:, None], r0, 0.0)
+    wJp = w[:, None, None] * Jp
+    wJl = w[:, None, None] * Jl
+    Hpp = jnp.zeros((K, 6, 6)).at[pidx].add(jnp.einsum("fri,frj->fij", wJp, Jp))
+    Hll = jnp.zeros((L, 3, 3)).at[lidx].add(jnp.einsum("fri,frj->fij", wJl, Jl))
+    Hpl_f = jnp.einsum("fri,frj->fij", wJp, Jl)
+    bp = jnp.zeros((K, 6)).at[pidx].add(-jnp.einsum("fri,fr->fi", wJp, r0))
+    bl = jnp.zeros((L, 3)).at[lidx].add(-jnp.einsum("fri,fr->fi", wJl, r0))
+    return Hpl_f, Hpp, Hll, bp, bl, chi2
+
+
+def _imu_blocks(R_wb, p_wb, v, bg, ba, inertial: vi_ba.VIInertialFactors,
+                pose_fixed, cfg: VIGBAConfig):
+    """IMU chain + bias-RW Gauss-Newton blocks in 15-DoF state space.
+
+    Returns (Hii (P,15,15), Hjj (P,15,15), Hij (P,15,15), bi (P,15),
+    bj (P,15)); fixed states' rows/cols are zeroed."""
+    ii, jj = inertial.idx_i, inertial.idx_j
+
+    def one(k):
+        z = jnp.zeros(15)
+
+        def r_imu(ei, ej):
+            return vi_ba._inertial_residual(
+                ei, ej,
+                R_wb[ii[k]], p_wb[ii[k]], v[ii[k]], bg[ii[k]], ba[ii[k]],
+                R_wb[jj[k]], p_wb[jj[k]], v[jj[k]], bg[jj[k]], ba[jj[k]],
+                inertial.dT[k], inertial.dR[k], inertial.dV[k],
+                inertial.dP[k], inertial.JRg[k], inertial.JVg[k],
+                inertial.JVa[k], inertial.JPg[k], inertial.JPa[k],
+                inertial.bg0[k], inertial.ba0[k])
+
+        def r_rw(ei, ej):
+            return vi_ba._bias_rw_residual(
+                ei, ej, bg[ii[k]], ba[ii[k]], bg[jj[k]], ba[jj[k]])
+
+        r9 = r_imu(z, z)
+        Ji = jax.jacfwd(lambda e: r_imu(e, z))(z)       # (9,15)
+        Jj = jax.jacfwd(lambda e: r_imu(z, e))(z)
+        W9 = inertial.info[k]
+        chi2 = r9 @ W9 @ r9
+        hw = vi_ba._huber_w(chi2, cfg.huber_inertial)
+        W9 = hw * W9
+        rw = r_rw(z, z)
+        Jri = jax.jacfwd(lambda e: r_rw(e, z))(z)       # (6,15)
+        Jrj = jax.jacfwd(lambda e: r_rw(z, e))(z)
+        W6 = inertial.info_rw[k]
+        ok = inertial.valid[k]
+        fi = pose_fixed[ii[k]]
+        fj = pose_fixed[jj[k]]
+        Ji = jnp.where(ok & ~fi, Ji, 0.0)
+        Jj = jnp.where(ok & ~fj, Jj, 0.0)
+        Jri = jnp.where(ok & ~fi, Jri, 0.0)
+        Jrj = jnp.where(ok & ~fj, Jrj, 0.0)
+        r9 = jnp.where(ok, r9, 0.0)
+        rw = jnp.where(ok, rw, 0.0)
+        Hii = Ji.T @ W9 @ Ji + Jri.T @ W6 @ Jri
+        Hjj = Jj.T @ W9 @ Jj + Jrj.T @ W6 @ Jrj
+        Hij = Ji.T @ W9 @ Jj + Jri.T @ W6 @ Jrj
+        bi = -(Ji.T @ W9 @ r9 + Jri.T @ W6 @ rw)
+        bj = -(Jj.T @ W9 @ r9 + Jrj.T @ W6 @ rw)
+        return Hii, Hjj, Hij, bi, bj, chi2 * ok
+
+    return jax.vmap(one)(jnp.arange(ii.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_levels", "scale"),
+                   donate_argnums=(0,))
+def run_global_vi_ba(
+    state: ms.MapState,
+    inertial: vi_ba.VIInertialFactors,   # full-map chain (P slots)
+    inv_sigma2_oct: jax.Array,
+    cam: Camera,
+    bf,
+    calib: pre.ImuCalib,
+    pose_fixed_in: jax.Array,            # (K,) bool — gauge + window masks
+    cfg: VIGBAConfig = VIGBAConfig(),
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Joint 15-DoF keyframe + landmark optimization over the whole map.
+
+    Returns (state', n_inlier_factors). The caller controls which keyframes
+    adjust via pose_fixed_in — all-free = FullInertialBA; welding-window-free
+    = MergeInertialBA (src/Optimizer.cc:3956)."""
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    R_cb = calib.R_bc.T
+    t_cb = -calib.R_bc.T @ calib.t_bc
+
+    window = jnp.arange(K, dtype=jnp.int32)
+    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(
+        state, window, inv_sigma2_oct)
+    n_obs = ms.landmark_obs_count(state)
+    valid = valid & (n_obs[lm_idx] >= 2)
+    factors = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    pose_fixed = pose_fixed_in | ~state.kf_valid
+    lm_fixed = (n_obs < 2) | ~state.lm_valid
+
+    R_wb, p_wb = _body_states(state, R_cb, t_cb)
+    x = (R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba, state.lm_pos)
+    inlier = jnp.ones(pose_idx.shape[0], bool)
+    bg_ref = state.kf_bg
+    ba_ref = state.kf_ba
+    is_stereo_f = uvr[:, 2] >= 0.0
+    delta2_f = jnp.where(is_stereo_f, cfg.chi2_stereo, cfg.chi2_mono)
+
+    def tree_where(c, a, b):
+        return jax.tree_util.tree_map(
+            lambda u, w: jnp.where(c, u, w), a, b)
+
+    def lm_round(carry, _):
+        x, inlier = carry
+        lam0 = jnp.float32(cfg.lambda0)
+
+        def lm_iter(carry2, _):
+            # chi2-guarded LM: a step that worsens the (robustified) total
+            # error is rejected — the state reverts to the best seen and the
+            # damping rises (plain always-accept GN can diverge on real maps)
+            x, x_best, chi2_best, lam = carry2
+            R_wb, p_wb, v, bg, ba, lm = x
+            Hpl_f, Hpp6, Hll, bp6, bl, chi2_f = _reproj_blocks(
+                R_wb, p_wb, lm, factors, cam, bf, R_cb, t_cb,
+                pose_fixed, lm_fixed, inlier, cfg)
+            Hii, Hjj, Hij, bi, bj, chi2_imu = _imu_blocks(
+                R_wb, p_wb, v, bg, ba, inertial, pose_fixed, cfg)
+            chi2_x = jnp.sum(jnp.where(
+                factors.valid & inlier,
+                jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0)) \
+                + jnp.sum(jnp.minimum(chi2_imu, 4.0 * cfg.huber_inertial))
+            good = chi2_x <= chi2_best
+            x_best = tree_where(good, x, x_best)
+            chi2_best = jnp.minimum(chi2_x, chi2_best)
+            lam = jnp.where(good, lam * 0.7, lam * 4.0)
+            # assemble 15-DoF diagonal blocks + gradient
+            Hpp = jnp.zeros((K, 15, 15))
+            Hpp = Hpp.at[:, :6, :6].set(Hpp6)
+            Hpp = Hpp.at[inertial.idx_i].add(Hii)
+            Hpp = Hpp.at[inertial.idx_j].add(Hjj)
+            bp = jnp.zeros((K, 15)).at[:, :6].set(bp6)
+            bp = bp.at[inertial.idx_i].add(bi)
+            bp = bp.at[inertial.idx_j].add(bj)
+            # bias prior toward the entry estimate (init-mode safeguard)
+            if cfg.bias_prior > 0:
+                wb = jnp.float32(cfg.bias_prior)
+                eye6b = jnp.eye(6) * wb
+                Hpp = Hpp.at[:, 9:15, 9:15].add(eye6b[None])
+                bp = bp.at[:, 9:12].add(-wb * (bg - bg_ref))
+                bp = bp.at[:, 12:15].add(-wb * (ba - ba_ref))
+            # damping + landmark-block inversion
+            eye15 = jnp.eye(15)
+            Hpp_d = Hpp + lam * Hpp * eye15 + 1e-8 * eye15
+            eye3 = jnp.eye(3)
+            Hll_d = Hll + lam * Hll * eye3
+            lm_active = jnp.abs(Hll_d).sum((-1, -2)) > 1e-12
+            Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
+            mu = 1e-3 * jnp.trace(Hll_d, axis1=-2, axis2=-1) / 3.0 + 1e-8
+            Hll_inv = jnp.linalg.inv(Hll_d + mu[:, None, None] * eye3)
+            free = ~pose_fixed
+
+            def hpl_hinv_hplT(v6):
+                u = jnp.einsum("fij,fi->fj", Hpl_f, v6[pose_idx])
+                y = jnp.zeros((L, 3)).at[lm_idx].add(u)
+                z = jnp.einsum("lij,lj->li", Hll_inv, y)
+                q = jnp.einsum("fij,fj->fi", Hpl_f, z[lm_idx])
+                return jnp.zeros((K, 6)).at[pose_idx].add(q)
+
+            def matvec(vv):
+                vv = jnp.where(free[:, None], vv, 0.0)
+                Sv = jnp.einsum("kij,kj->ki", Hpp_d, vv)
+                Sv = Sv.at[:, :6].add(-hpl_hinv_hplT(vv[:, :6]))
+                # IMU off-diagonal coupling
+                Sv = Sv.at[inertial.idx_i].add(
+                    jnp.einsum("pij,pj->pi", Hij, vv[inertial.idx_j]))
+                Sv = Sv.at[inertial.idx_j].add(
+                    jnp.einsum("pji,pj->pi", Hij, vv[inertial.idx_i]))
+                return jnp.where(free[:, None], Sv, 0.0)
+
+            # rhs = bp - [Hpl Hll^-1 bl; 0]
+            z0 = jnp.einsum("lij,lj->li", Hll_inv, bl)
+            q0 = jnp.einsum("fij,fj->fi", Hpl_f, z0[lm_idx])
+            rhs = bp.at[:, :6].add(-jnp.zeros((K, 6)).at[pose_idx].add(q0))
+            rhs = jnp.where(free[:, None], rhs, 0.0)
+
+            diag_ok = (jnp.abs(Hpp_d).sum((-1, -2)) > 1e-9) & free
+            M = jnp.where(diag_ok[:, None, None], Hpp_d, eye15)
+            Minv = jnp.linalg.inv(M)
+
+            def precond(r):
+                return jnp.einsum("kij,kj->ki", Minv, r)
+
+            xx = jnp.zeros_like(rhs)
+            r = rhs
+            z = precond(r)
+            p = z
+            rz = jnp.sum(r * z)
+
+            def cg_body(c, _):
+                xx, r, p, rz = c
+                Ap = matvec(p)
+                pAp = jnp.sum(p * Ap)
+                ok = (pAp > 1e-20) & (rz > 1e-20)
+                alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+                xx = xx + alpha * p
+                r = r - alpha * Ap
+                z = precond(r)
+                rz_new = jnp.sum(r * z)
+                beta = jnp.where(ok, rz_new / jnp.where(rz > 1e-20, rz, 1.0), 0.0)
+                p = z + beta * p
+                return (xx, r, p, rz_new), None
+
+            (dx, _, _, _), _ = jax.lax.scan(
+                cg_body, (xx, r, z, rz), None, length=cfg.cg_iters)
+            dx = jnp.where(free[:, None], dx, 0.0)
+            # landmark back-substitution
+            u = jnp.einsum("fij,fi->fj", Hpl_f, dx[pose_idx, :6])
+            y = jnp.zeros((L, 3)).at[lm_idx].add(u)
+            dlm = jnp.einsum("lij,lj->li", Hll_inv, bl - y)
+            dlm = jnp.where((lm_fixed | ~lm_active)[:, None], 0.0, dlm)
+
+            # apply
+            def apply_one(R_, p_, v_, bg_, ba_, e):
+                return vi_ba._apply_eps(R_, p_, v_, bg_, ba_, e)
+
+            R2, p2, v2, bg2, ba2 = jax.vmap(apply_one)(
+                R_wb, p_wb, v, bg, ba, dx)
+            x2 = (R2, p2, v2, bg2, ba2, lm + dlm)
+            # rejected step: restart from the best state (the step direction
+            # was computed at a diverged point)
+            x_next = tree_where(good, x2, x_best)
+            return (x_next, x_best, chi2_best, lam), None
+
+        big = jnp.float32(1e30)
+        (x_last, x_best, chi2_best, _), _ = jax.lax.scan(
+            lm_iter, (x, x, big, lam0), None, length=cfg.n_iters)
+        # the final candidate state was stepped but never chi2-evaluated —
+        # evaluate and keep whichever is better
+        R_wb, p_wb, v, bg, ba, lm = x_last
+        _, _, _, _, _, chi2_f = _reproj_blocks(
+            R_wb, p_wb, lm, factors, cam, bf, R_cb, t_cb,
+            pose_fixed, lm_fixed, inlier, cfg)
+        _, _, _, _, _, chi2_imu = _imu_blocks(
+            R_wb, p_wb, v, bg, ba, inertial, pose_fixed, cfg)
+        chi2_last = jnp.sum(jnp.where(
+            factors.valid & inlier,
+            jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0)) \
+            + jnp.sum(jnp.minimum(chi2_imu, 4.0 * cfg.huber_inertial))
+        x = tree_where(chi2_last <= chi2_best, x_last, x_best)
+        # chi2 gate for next round
+        R_wb, p_wb, v, bg, ba, lm = x
+        _, _, _, _, _, chi2 = _reproj_blocks(
+            R_wb, p_wb, lm, factors, cam, bf, R_cb, t_cb,
+            pose_fixed, lm_fixed, inlier, cfg)
+        inlier = chi2 <= delta2_f
+        return (x, inlier), None
+
+    (x, inlier), _ = jax.lax.scan(
+        lm_round, (x, inlier), None, length=cfg.n_rounds)
+    R_wb, p_wb, v, bg, ba, lm = x
+    kf_R, kf_t = _cam_states(R_wb, p_wb, R_cb, t_cb)
+    upd = state.kf_valid & ~pose_fixed
+    new_state = state._replace(
+        kf_R=jnp.where(upd[:, None, None], kf_R, state.kf_R),
+        kf_t=jnp.where(upd[:, None], kf_t, state.kf_t),
+        kf_vel=jnp.where(upd[:, None], v, state.kf_vel),
+        kf_bg=jnp.where(upd[:, None], bg, state.kf_bg),
+        kf_ba=jnp.where(upd[:, None], ba, state.kf_ba),
+        lm_pos=jnp.where(lm_fixed[:, None], state.lm_pos, lm),
+        epoch=state.epoch + 1,
+    )
+    drop = (valid & ~inlier).reshape(K, N)
+    new_state = new_state._replace(
+        kf_obs=jnp.where(drop, -1, new_state.kf_obs))
+    new_state = ms.update_landmark_stats(new_state, n_levels, scale)
+    return new_state, jnp.sum((valid & inlier).astype(jnp.int32))

@@ -300,10 +300,12 @@ def excise_keyframes(state: MapState, cull_ids: jax.Array) -> MapState:
     kf_obs = jnp.where(dead_row, -1, state.kf_obs)
     kf_feat_valid = jnp.where(dead_row, False, state.kf_feat_valid)
 
-    # splice the temporal chain: prev pointers THROUGH culled keyframes
-    # (two hops cover up to 3 consecutive culled slots per call; C is small)
+    # splice the temporal chain: prev pointers THROUGH culled keyframes.
+    # One hop is resolved per iteration, so C iterations reach a fixed point
+    # for any batch of up to C culled slots, consecutive or not (C is small,
+    # the loop unrolls at trace time).
     prev = state.kf_prev
-    for _ in range(2):
+    for _ in range(int(cull_ids.shape[0])):
         p_ok = prev >= 0
         p = jnp.clip(prev, 0, K - 1)
         prev = jnp.where(p_ok & ~kf_valid[p], state.kf_prev[p], prev)

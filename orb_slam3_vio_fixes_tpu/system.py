@@ -54,7 +54,8 @@ class SLAMSystem:
 
     def __init__(self, settings, sensor: Sensor, vocab=None,
                  map_cfg: Optional[ms.MapConfig] = None,
-                 tracker_cfg: Optional[trk.TrackerConfig] = None):
+                 tracker_cfg: Optional[trk.TrackerConfig] = None,
+                 mesh=None):
         if isinstance(settings, str):
             settings = load_settings(settings, sensor)
         self.settings: Settings = settings
@@ -104,12 +105,22 @@ class SLAMSystem:
 
         closer = reloc = atl = None
         if vocab is not None:
+            # scale is fixed for every sensor but pure monocular (the
+            # reference's mbFixScale: IMU and stereo/RGBD maps are metric,
+            # src/System.cc:213); inertial maps use the 4-DoF essential
+            # graph + scale gate + yaw clamp (src/LoopClosing.cc:141-164,
+            # :1176-1184)
             closer = lc_mod.LoopCloser(
                 vocab, s.cam1, map_cfg.max_keyframes, inv_s2,
-                lc_mod.LoopConfig(fix_scale=not sensor.is_monocular),
+                lc_mod.LoopConfig(
+                    fix_scale=sensor != Sensor.MONOCULAR,
+                    inertial=sensor.has_imu,
+                    # inertial maps run FullInertialBA as the GBA from the
+                    # tracker hook instead (src/LoopClosing.cc:2284-2286)
+                    run_gba=not sensor.has_imu),
                 bf=(s.bf or 0.0) if (sensor.is_stereo or sensor.is_rgbd)
                 else 0.0,
-                n_levels=cfg.orb.n_levels, scale=cfg.orb.scale)
+                n_levels=cfg.orb.n_levels, scale=cfg.orb.scale, mesh=mesh)
             reloc = rl_mod.Relocalizer(vocab, lambda: closer.db)
             atl = atlas_mod.Atlas(
                 map_cfg, vocab, s.cam1, inv_s2,
@@ -126,7 +137,7 @@ class SLAMSystem:
                 t_bc=jnp.asarray(T_bc[:3, 3]))
             self.tracker = StereoInertialTracker(
                 s.cam1, s.bf, calib, cfg, InertialConfig(),
-                loop_closer=closer, rig=rig)
+                loop_closer=closer, rig=rig, relocalizer=reloc, atlas=atl)
         elif sensor == Sensor.IMU_MONOCULAR:
             from orb_slam3_vio_fixes_tpu.frontend.inertial_tracking import (
                 MonoInertialTracker)
@@ -146,6 +157,11 @@ class SLAMSystem:
             self.tracker = trk.StereoTracker(
                 s.cam1, s.bf, cfg, loop_closer=closer, relocalizer=reloc,
                 atlas=atl, rig=rig)
+
+        if sensor.is_rgbd:
+            # RGBD searches a wider local window (reference th=3 schedule,
+            # src/Tracking.cc:3390-3393)
+            self.tracker.th_local_base = 1.5
 
         if s.load_file:
             self.load_atlas(s.load_file)
@@ -228,7 +244,10 @@ class SLAMSystem:
     def reset_active_map(self):
         tr = self.tracker
         tr._freeze_trajectory()  # keyframe slots are going away
-        tr.state = ms.empty(self.cfg.map)
+        # read the map tier from the TRACKER's config — capacity growth
+        # updates tracker.cfg (and the BoW db) but not the facade's cfg; a
+        # reset at the original tier would mismatch the grown database
+        tr.state = ms.empty(tr.cfg.map)
         tr.n_kf = 0
         tr.n_lm = 0
         tr.kf_order = []
@@ -294,7 +313,7 @@ class SLAMSystem:
                  if self.loop_closer is not None else None)
         stored = self.atlas.stored if self.atlas is not None else ()
         snapshot.save_atlas(
-            path, tr.state, self.cfg.map, tr.n_kf, tr.n_lm, tr.kf_order,
+            path, tr.state, tr.cfg.map, tr.n_kf, tr.n_lm, tr.kf_order,
             stored=stored, hists=hists, vocab=self.vocab)
 
     def load_atlas(self, path: str):
@@ -306,6 +325,16 @@ class SLAMSystem:
         tr = self.tracker
         tr._freeze_trajectory()  # old entries must not resolve via new slots
         tr.state = state
+        # sync every holder of the map tier to the LOADED capacity (the
+        # snapshot may come from a grown map): tracker cfg, facade cfg,
+        # loop-closer database rows, atlas template
+        if cfg != tr.cfg.map:
+            tr.cfg = tr.cfg._replace(map=cfg)
+            self.cfg = self.cfg._replace(map=cfg)
+            if self.loop_closer is not None:
+                self.loop_closer.grow(cfg.max_keyframes)
+            if self.atlas is not None:
+                self.atlas.map_cfg = cfg
         tr.n_kf = meta["n_kf"]
         tr.n_lm = meta["n_lm"]
         tr.kf_order = list(meta["kf_order"])
@@ -319,6 +348,10 @@ class SLAMSystem:
                 self.loop_closer.db = voc.KeyFrameDatabase(jnp.asarray(hists))
             else:
                 # no stored histograms: rebuild like the reference's PostLoad
-                self.loop_closer.reset()
+                # (sized to the LOADED tier, which reset() alone would not do)
+                self.loop_closer.db = voc.KeyFrameDatabase.empty(
+                    cfg.max_keyframes, self.loop_closer.vocab.n_words)
+                self.loop_closer._pending_group = None
+                self.loop_closer._pending_count = 0
                 for k in tr.kf_order:
                     self.loop_closer.add_keyframe(state, k)

@@ -70,6 +70,7 @@ def test_stereo_inertial_ate(seq):
         assert abs(v_est - v_gt) < 0.25 * max(v_gt, 0.2), (v_est, v_gt)
 
 
+@pytest.mark.slow
 def test_blank_frames_dead_reckoning_recovery(seq):
     """Blank out imagery mid-sequence: the tracker must dead-reckon on IMU
     (RECENTLY_LOST), NOT reset, and recover when imagery returns (reference:

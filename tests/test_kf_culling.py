@@ -56,6 +56,7 @@ def _ate(tr, seq):
     return rmse
 
 
+@pytest.mark.slow
 def test_culling_bounds_keyframes(seq):
     # force a keyframe every 2 frames -> heavy redundancy -> culling fires
     cfg = _cfg(seq, max_frames_between_kf=2, kf_cull_every=2)
@@ -77,6 +78,7 @@ def test_culling_bounds_keyframes(seq):
             assert (np.asarray(tr.state.kf_obs[k]) == -1).all()
 
 
+@pytest.mark.slow
 def test_trajectory_survives_culling(seq):
     """Frames whose reference keyframe is culled are re-based onto its live
     predecessor (reference: mTcp chaining in SetBadFlag + SaveTrajectory)."""

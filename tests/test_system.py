@@ -132,8 +132,13 @@ def test_system_stereo_and_snapshot(settings_path, seq, tmp_path):
 
 
 def test_vocab_checksum_mismatch(settings_path, seq, tmp_path):
+    # share small_tracker_cfg with the other system tests: a unique
+    # TrackerConfig here would compile its own kernel variants (the YAML-
+    # derived config path is covered by test_settings_parse /
+    # test_sensor_dispatch_guard, which never run the tracker)
     slam = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO,
-                           map_cfg=small_map())
+                           map_cfg=small_map(),
+                           tracker_cfg=small_tracker_cfg())
     for i in range(6):
         slam.track_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
     rng = np.random.default_rng(0)
@@ -144,6 +149,7 @@ def test_vocab_checksum_mismatch(settings_path, seq, tmp_path):
     snap = str(tmp_path / "atlas2.npz")
     slam.save_atlas(snap)
     slam2 = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO, vocab=v2,
-                            map_cfg=small_map())
+                            map_cfg=small_map(),
+                            tracker_cfg=small_tracker_cfg())
     with pytest.raises(Exception):
         slam2.load_atlas(snap)
