@@ -16,7 +16,11 @@ so vs_baseline = fps / 20.
 Method: the sequence is run TWICE with a fresh tracker each time — pass 1
 triggers every jit compile (frame build, track_step, keyframe insertion,
 triangulation, fusion, local BA, culling tiers); pass 2 is timed end to end
-from the second frame. Per-stage means go to stderr (REGISTER_TIMES parity).
+from the second frame, with the tracker's software pipelining enabled
+(frame t's device->host sync overlaps frame t+1's dispatch — decisions run
+in the same order as sync mode). Per-stage attribution (REGISTER_TIMES
+parity) is scripts/profile_system.py, which runs this same scenario with
+stage barriers.
 """
 
 import json
@@ -71,6 +75,7 @@ def run_pass(tr, seq, timed: bool):
         f0 = time.perf_counter()
         tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
         per_frame.append(time.perf_counter() - f0)
+    tr.flush()
     jax.block_until_ready(tr.state.lm_pos)
     if not timed:
         return None, per_frame
@@ -85,8 +90,9 @@ def main():
     run_pass(tr, seq, timed=False)
     n_kf_warm = len(tr.kf_order)
 
-    # pass 2: timed, fresh tracker, all kernels cached
+    # pass 2: timed, fresh tracker, all kernels cached, pipelined
     tr = build_tracker(seq)
+    tr.pipelined = True
     fps, per_frame = run_pass(tr, seq, timed=True)
 
     ms_arr = 1e3 * np.asarray(per_frame[1:])

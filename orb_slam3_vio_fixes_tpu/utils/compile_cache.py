@@ -16,11 +16,23 @@ def enable(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
+        base = os.environ.get(
             "ORB_TPU_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
         )
+        # One cache dir PER BACKEND PLATFORM. A TPU-tunnel backend compiles
+        # (parts of) executables on the REMOTE host, whose CPU feature set
+        # (AMX/AVX512) differs from this machine's; sharing one directory
+        # lets a later CPU run load an incompatible AOT blob — XLA warns
+        # "could lead to execution errors such as SIGILL" and the process
+        # can abort mid-suite (observed). Platform-keyed subdirs make the
+        # pollution impossible.
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "unknown"
+        cache_dir = os.path.join(base, platform)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

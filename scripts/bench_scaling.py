@@ -1,0 +1,112 @@
+"""Scaling-efficiency benchmark: distributed GBA LM-iteration throughput at
+1/2/4/8 devices (virtual CPU mesh by default; a real multi-chip mesh when
+available).
+
+Measures wall-clock per full distributed_bundle_adjust solve on a synthetic
+full-map problem (the workload of loop-closing GBA) and reports efficiency
+eff(n) = T(1) / (n * T(n)) * n = T(1)/T(n)/1 ... conventionally:
+  speedup(n) = T(1) / T(n);  efficiency(n) = speedup(n) / n.
+North star (BASELINE.md): >= 70% efficiency at 2+ hosts.
+
+Prints one JSON line per device count + a summary line.
+
+NOTE on the virtual CPU mesh: XLA's CPU collectives share one host's cores,
+so virtual-device scaling UNDER-estimates real ICI scaling (the per-shard
+compute does not get more silicon). The number still tracks the
+communication/imbalance overhead of the sharded formulation, which is the
+controllable part.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+n_dev = int(os.environ.get("SCALING_DEVICES", "8"))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_dev}").strip()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from orb_slam3_vio_fixes_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+from orb_slam3_vio_fixes_tpu.optim import ba_core
+from orb_slam3_vio_fixes_tpu.parallel import sharded_ba
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+def make_problem(n_kf=96, n_lm=24576, obs_per_kf=512, seed=0):
+    rng = np.random.default_rng(seed)
+    cam = Camera.pinhole(458.0, 458.0, 376.0, 240.0)
+    bf = jnp.float32(45.8)
+    lm = rng.uniform(-8, 8, (n_lm, 3)).astype(np.float32)
+    lm[:, 2] = rng.uniform(4, 16, n_lm)
+    kf_t = np.zeros((n_kf, 3), np.float32)
+    kf_t[:, 0] = np.linspace(0, 8, n_kf)
+    kf_R = np.tile(np.eye(3, dtype=np.float32), (n_kf, 1, 1))
+    pose_idx = np.repeat(np.arange(n_kf, dtype=np.int32), obs_per_kf)
+    lm_idx = rng.integers(0, n_lm, n_kf * obs_per_kf).astype(np.int32)
+    X = lm[lm_idx]
+    Xc = X + kf_t[pose_idx] * np.array([-1.0, 0, 0])
+    uv = np.stack([458.0 * Xc[:, 0] / Xc[:, 2] + 376.0,
+                   458.0 * Xc[:, 1] / Xc[:, 2] + 240.0], 1)
+    ur = uv[:, 0] - 45.8 / Xc[:, 2]
+    uvr = np.concatenate([uv, ur[:, None]], 1).astype(np.float32)
+    uvr += rng.normal(0, 0.5, uvr.shape).astype(np.float32)
+    valid = (Xc[:, 2] > 0.5)
+    factors = ba_core.ReprojFactors(
+        jnp.asarray(pose_idx), jnp.asarray(lm_idx), jnp.asarray(uvr),
+        jnp.ones(len(pose_idx)), jnp.asarray(valid))
+    pose_fixed = jnp.zeros(n_kf, bool).at[0].set(True)
+    return ba_core.BAProblem(
+        R=jnp.asarray(kf_R), t=jnp.asarray(kf_t), pose_fixed=pose_fixed,
+        lm=jnp.asarray(lm), lm_valid=jnp.ones(n_lm, bool),
+        lm_fixed=jnp.zeros(n_lm, bool), factors=factors, cam=cam, bf=bf)
+
+
+def bench_n(problem, n, cfg, reps=3):
+    devs = jax.devices()[:n]
+    mesh = Mesh(np.array(devs), ("lm",))
+    part = sharded_ba.partition_problem(problem, n)
+    # warm-up compile
+    out, _, _ = sharded_ba.distributed_bundle_adjust(part, mesh, cfg, "lm")
+    jax.device_get(out.lm.ravel()[0:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, _, _ = sharded_ba.distributed_bundle_adjust(part, mesh, cfg, "lm")
+    jax.device_get(out.lm.ravel()[0:1])
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    problem = make_problem()
+    cfg = ba_core.LMConfig(n_rounds=2, n_iters=8, solver="cg", cg_iters=40)
+    counts = [c for c in (1, 2, 4, 8) if c <= jax.device_count()]
+    times = {}
+    for n in counts:
+        times[n] = bench_n(problem, n, cfg)
+        print(json.dumps({
+            "metric": "distributed_gba_solve_s", "devices": n,
+            "value": round(times[n], 4), "unit": "s"}), flush=True)
+    base = times[counts[0]]
+    summary = {
+        "metric": "gba_scaling_efficiency",
+        "devices": counts[-1],
+        "value": round(base / times[counts[-1]] / counts[-1], 3),
+        "unit": "fraction",
+        "speedups": {str(n): round(base / times[n], 3) for n in counts},
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Software-pipelined tracking must be trajectory-identical to sync mode.
+
+The pipelined tracker (StereoTracker.pipelined) defers each frame's
+device->host sync until the next frame has been dispatched, hiding the link
+RTT. Decisions (fallback matching, lost transitions, keyframe insertion) run
+in the SAME order as sync mode, so the exported trajectory and the map must
+match bit-for-bit; only the per-call return value lags one frame.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam3_vio_fixes_tpu.frontend import tracking
+from orb_slam3_vio_fixes_tpu.io import synthetic
+from orb_slam3_vio_fixes_tpu.ops import orb
+from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
+from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
+
+
+@pytest.fixture(scope="module")
+def seq():
+    rng = np.random.default_rng(7)
+    world = synthetic.make_world(rng, n_points=600, extent=7.0,
+                                 depth_range=(2.5, 9.0))
+    return synthetic.make_stereo_sequence(
+        rng, n_frames=20, h=240, w=352, fx=260.0, baseline=0.2, world=world)
+
+
+def _cfg(seq):
+    return tracking.TrackerConfig(
+        orb=orb.ORBConfig(n_features=400, n_levels=4),
+        map=ms.MapConfig(max_keyframes=32, max_landmarks=4096,
+                         max_features=400),
+        width=seq.imgs_l.shape[2], height=seq.imgs_l.shape[1],
+        max_local_lm=1024, ba_window=6, ba_fixed=2, new_lm_budget=256,
+        max_frames_between_kf=6,
+    )
+
+
+def _run(seq, pipelined):
+    cfg = _cfg(seq)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg)
+    tr.pipelined = pipelined
+    for i in range(seq.imgs_l.shape[0]):
+        tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+    tr.flush()
+    return tr
+
+
+def test_pipelined_matches_sync(seq):
+    tr_sync = _run(seq, pipelined=False)
+    tr_pipe = _run(seq, pipelined=True)
+    assert tr_pipe.track_state == tr_sync.track_state
+    assert tr_pipe.kf_order == tr_sync.kf_order
+    assert tr_pipe.n_lm == tr_sync.n_lm
+    traj_s = tr_sync.trajectory
+    traj_p = tr_pipe.trajectory
+    assert len(traj_p) == len(traj_s) == seq.imgs_l.shape[0]
+    for (ts_s, R_s, t_s), (ts_p, R_p, t_p) in zip(traj_s, traj_p):
+        assert ts_s == ts_p
+        np.testing.assert_allclose(R_p, R_s, atol=1e-6)
+        np.testing.assert_allclose(t_p, t_s, atol=1e-6)
+
+
+def test_pipelined_return_lags_one_frame(seq):
+    """The per-call return value in pipelined mode is the PREVIOUS frame's
+    finalized pose (documented one-frame latency)."""
+    cfg = _cfg(seq)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg)
+    tr.pipelined = True
+    returned = []
+    for i in range(6):
+        R, t, st = tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+        returned.append(np.asarray(t).copy())
+    tr.flush()
+    traj = tr.trajectory
+    # call i (i >= 2, steady state) returned frame i-1's pose
+    t_prev = -traj[4][1].T @ traj[4][2]
+    t_ret = returned[5]
+    # the returned pose is t_cw of frame 4; compare in the same convention
+    np.testing.assert_allclose(t_ret, traj[4][2], atol=1e-6)
