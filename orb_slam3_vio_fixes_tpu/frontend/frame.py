@@ -39,6 +39,19 @@ class FrameData(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
+
+def _to_f32(img):
+    """Device-side conversion of uploaded images to float32 gray.
+
+    uint8 arrives as raw camera gray; uint16 is the host's fixed-point
+    encoding (value * 256) used to halve H2D traffic vs float32 without the
+    sub-pixel precision loss of uint8 (the SAD refinement needs intensity
+    resolution finer than one gray level on clean imagery)."""
+    x = img.astype(jnp.float32)
+    if img.dtype == jnp.uint16:
+        x = x * (1.0 / 256.0)
+    return x
+
 SAD_W = 5       # SAD half-window (11x11 patches, like the reference)
 SAD_SLIDE = 5   # slide range +-5 (reference: const int L = 5)
 
@@ -121,6 +134,10 @@ def build_stereo_frame(
     minD=0, maxD=mbf/minZ with minZ=b, i.e. maxD=fx); the descriptor match is
     then refined to sub-pixel by sliding SAD.
     """
+    # images may arrive quantized (uint8 camera gray or uint16 fixed-point;
+    # smaller H2D upload on a remote link); all math runs in float32 on device
+    img_l = _to_f32(img_l)
+    img_r = _to_f32(img_r)
     fl, fr = orb.extract_pair(img_l, img_r, cfg)
     sf = image_ops.scale_factors(cfg.n_levels, cfg.scale)
     baseline = bf / cam.fx
@@ -169,6 +186,8 @@ def build_fisheye_stereo_frame(
     the reference, where fisheye keypoints carry no rectified right-u) while
     landmark spawning gets metric depth.
     """
+    img_l = _to_f32(img_l)
+    img_r = _to_f32(img_r)
     from orb_slam3_vio_fixes_tpu.ops import triangulate as tri
     from orb_slam3_vio_fixes_tpu.utils.cameras import project, unproject
 
@@ -224,7 +243,7 @@ def build_fisheye_stereo_frame(
 def build_mono_frame(
     img: jax.Array, ts: jax.Array, cfg: orb.ORBConfig
 ) -> FrameData:
-    f = orb.extract(img, cfg)
+    f = orb.extract(_to_f32(img), cfg)
     n = f.uv.shape[0]
     return FrameData(
         uv=f.uv,
@@ -242,7 +261,7 @@ def build_rgbd_frame(
 ) -> FrameData:
     """RGB-D: depth sampled at keypoint locations; synthetic right coordinate
     ur = u - bf/z (reference: Frame::ComputeStereoFromRGBD src/Frame.cc:984)."""
-    f = orb.extract(img, cfg)
+    f = orb.extract(_to_f32(img), cfg)
     xi = jnp.clip(f.uv[:, 0].astype(jnp.int32), 0, depth_img.shape[1] - 1)
     yi = jnp.clip(f.uv[:, 1].astype(jnp.int32), 0, depth_img.shape[0] - 1)
     z = depth_img[yi, xi]

@@ -417,7 +417,7 @@ class StereoInertialTracker(trk.StereoTracker):
         from orb_slam3_vio_fixes_tpu.frontend.frame import build_rgbd_frame
 
         frame = build_rgbd_frame(
-            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            self._upload_image(img), jnp.asarray(depth, jnp.float32),
             jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
         return self._track_inertial(frame, ts, imu_np)
@@ -995,7 +995,7 @@ class MonoInertialTracker(StereoInertialTracker):
             icfg = InertialConfig(fix_scale=False, init_min_kfs=6,
                                   init_min_time=2.0)
         assert not icfg.fix_scale, "mono-inertial must estimate scale"
-        cfg = cfg._replace(kf_inlier_ratio=0.9)
+        cfg = cfg._replace(kf_inlier_ratio=0.9, ba_iters=max(cfg.ba_iters, 6))
         super().__init__(cam, 0.0, calib, cfg, icfg, loop_closer=loop_closer,
                          relocalizer=relocalizer, atlas=atlas)
         self._mono = MonocularTracker  # class handle for borrowed methods
@@ -1008,7 +1008,7 @@ class MonoInertialTracker(StereoInertialTracker):
         from orb_slam3_vio_fixes_tpu.frontend.frame import build_mono_frame
 
         frame = build_mono_frame(
-            jnp.asarray(img, jnp.float32), jnp.float32(ts), self.cfg.orb)
+            self._upload_image(img), jnp.float32(ts), self.cfg.orb)
         return self._track_inertial(frame, ts, imu_np)
 
     # -- borrowed monocular behavior --

@@ -135,7 +135,7 @@ class MonocularTracker(trk.StereoTracker):
     def __init__(self, cam: Camera, cfg: trk.TrackerConfig = trk.TrackerConfig(),
                  loop_closer=None, relocalizer=None, atlas=None,
                  init_window: float = 100.0):
-        cfg = cfg._replace(kf_inlier_ratio=0.9)
+        cfg = cfg._replace(kf_inlier_ratio=0.9, ba_iters=max(cfg.ba_iters, 6))
         super().__init__(cam, 0.0, cfg, loop_closer=loop_closer,
                          relocalizer=relocalizer, atlas=atlas)
         self.init_window = init_window
@@ -145,7 +145,7 @@ class MonocularTracker(trk.StereoTracker):
 
     def process_mono(self, img, ts: float):
         frame = build_mono_frame(
-            jnp.asarray(img, jnp.float32), jnp.float32(ts), self.cfg.orb)
+            self._upload_image(img), jnp.float32(ts), self.cfg.orb)
         return self.process_frame(frame, ts)
 
     def _spawn_new_map(self):

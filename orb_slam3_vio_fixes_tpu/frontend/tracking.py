@@ -57,6 +57,14 @@ class TrackerConfig(NamedTuple):
     enable_kf_culling: bool = True
     enable_growth: bool = True     # capacity-tier doubling on overflow
     ba_anchors: int = 16           # fixed observer keyframes in local BA
+    ba_factor_budget: int = 12288  # compacted factor rows in local BA (the
+                                   # (W, N) table is ~2/3 padding; see
+                                   # local_ba's compaction)
+    ba_rounds: int = 2             # local-BA chi2-gated rounds
+    ba_iters: int = 3              # LM iterations per round (stereo/RGBD:
+                                   # depth-anchored maps converge in a few;
+                                   # monocular trackers raise this to 6 —
+                                   # structure comes from BA alone there)
 
 
 def octave_inv_sigma2(cfg: orb.ORBConfig) -> jax.Array:
@@ -445,7 +453,17 @@ def local_ba(
 
     inv_s2_oct = octave_inv_sigma2(cfg.orb)
     pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(state, window, inv_s2_oct)
-    factors = ba_core.ReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    # COMPACT the factor table before the LM loop: the (W, N) layout is
+    # mostly padding (only ~1/3 of feature slots hold live observations),
+    # and every LM iteration drags the full padded table through residual/
+    # Jacobian/reduction ops. One stable argsort moves the valid rows to a
+    # fixed budget; outlier flags are scattered back through the same index.
+    F_full = pose_idx.shape[0]
+    F_budget = min(F_full, cfg.ba_factor_budget)
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)[:F_budget]
+    factors = ba_core.ReprojFactors(
+        pose_idx[order], lm_idx[order], uvr[order], inv_s2[order],
+        valid[order])
     # landmarks seen by a single keyframe have weakly-determined depth; keep
     # them anchored at their stereo-spawned position until a second view
     # constrains them (the reference's MapPointCulling plays the same role by
@@ -458,9 +476,14 @@ def local_ba(
         lm_fixed=n_obs < 2,
         factors=factors, cam=cam, bf=bf,
     )
-    out, inlier, chi2 = ba_core.bundle_adjust(
-        problem, ba_core.LMConfig(n_rounds=2, n_iters=6)
+    # chi2-gated rounds (reference: 5+10 with the common abort — depth-
+    # anchored maps converge in a few iterations; mono configs run more)
+    out, inlier_c, chi2 = ba_core.bundle_adjust(
+        problem, ba_core.LMConfig(n_rounds=cfg.ba_rounds,
+                                  n_iters=cfg.ba_iters)
     )
+    # un-compact the inlier mask
+    inlier = jnp.ones(F_full, bool).at[order].set(inlier_c | ~factors.valid)
     # write back adjusted poses (only adjustable, valid ones)
     upd = w_ok & ~fixed
     state = state._replace(
@@ -602,6 +625,25 @@ class StereoTracker:
             ids[i] = k
         return jnp.asarray(ids)
 
+    @staticmethod
+    def _upload_image(img):
+        """Host image -> device array. Host-resident float images are
+        quantized to uint8 before upload (4x less H2D traffic — on a
+        remote-TPU link the float32 upload of a VGA pair costs more than the
+        whole extraction kernel; real camera data is uint8 anyway). Device
+        arrays and depth maps pass through untouched."""
+        if isinstance(img, jax.Array):
+            return img
+        a = np.asarray(img)
+        if a.dtype == np.uint8:
+            return jnp.asarray(a)
+        if a.dtype in (np.float32, np.float64) and a.size:
+            # 8.8 fixed point: half the float32 upload, 1/256-gray precision
+            # (uint8 would cost sub-pixel accuracy on clean imagery)
+            return jnp.asarray(
+                np.clip(np.rint(a * 256.0), 0, 65535).astype(np.uint16))
+        return jnp.asarray(a)
+
     def _build_stereo(self, img_l, img_r, ts: float):
         """Stereo frame construction: rectified row matching, or two-camera
         ray triangulation when a fisheye rig is present."""
@@ -611,12 +653,11 @@ class StereoTracker:
 
             cam2, R_12, t_12 = self.rig
             return build_fisheye_stereo_frame(
-                jnp.asarray(img_l, jnp.float32),
-                jnp.asarray(img_r, jnp.float32),
+                self._upload_image(img_l), self._upload_image(img_r),
                 jnp.float32(ts), self.cam, cam2, R_12, t_12, self.cfg.orb,
             )
         return build_stereo_frame(
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            self._upload_image(img_l), self._upload_image(img_r),
             jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
 
@@ -632,7 +673,7 @@ class StereoTracker:
         a synthetic right coordinate; the rest of the pipeline is shared."""
         from orb_slam3_vio_fixes_tpu.frontend.frame import build_rgbd_frame
         frame = build_rgbd_frame(
-            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            self._upload_image(img), jnp.asarray(depth, jnp.float32),
             jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
         return self.process_frame(frame, ts)
@@ -1087,7 +1128,13 @@ class StereoTracker:
         self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
         if prof:
             t0 = self._mark("kf.5_local_ba", t0, self.state.lm_pos)
-        self.state = lm_mod.cull_landmarks(self.state, jnp.int32(self.n_kf), lcfg)
+        # landmark culling every 2nd keyframe: the redundancy criteria only
+        # move when new observations land, and the pass costs a full
+        # landmark-block program (reference culls per mapping iteration but
+        # on a per-point recent list, src/LocalMapping.cc:346-385)
+        if kf_id % 2 == 0:
+            self.state = lm_mod.cull_landmarks(
+                self.state, jnp.int32(self.n_kf), lcfg)
         if prof:
             t0 = self._mark("kf.6_cull_lm", t0, self.state.lm_valid)
         if (self.cfg.enable_kf_culling and self._can_cull()

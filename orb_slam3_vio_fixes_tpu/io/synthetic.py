@@ -347,6 +347,57 @@ def make_stereo_inertial_sequence(
     )
 
 
+def make_loop_stereo_inertial_sequence(
+    rng, n_frames=88, n_loop=72, h=240, w=352, fx=260.0, baseline=0.2,
+    dt=0.05, imu_hz=200.0, wall_radius=9.0, radius=3.0, n_points=1400,
+    gyro_noise=0.0, acc_noise=0.0,
+) -> StereoInertialSequence:
+    """Circular revisit trajectory WITH analytically exact IMU — the
+    stereo-inertial loop-closing e2e scenario. Gravity is (0, -9.81, 0) in
+    the generator's world (the loop lives in the XZ plane, Y up); the body
+    frame equals the camera frame (R_bc = I). Circular motion at constant
+    angular rate: a(t) = 2*pi*t / (dt*(n_loop-1)), center path
+    p = r(sin a, 0, -cos a), v = r*adot(cos a, 0, sin a),
+    acc_w = -r*adot^2 (sin a, 0, -cos a) (centripetal), omega_w = (0,-adot,0)
+    (R_wc = roty(pi - a), d/dt angle = -adot about +Y)."""
+    G = np.array([0.0, -9.81, 0.0], np.float32)
+    world = make_loop_world(rng, n_points=n_points, wall_radius=wall_radius)
+    R_wc, t_wc = loop_trajectory(n_frames, dt, radius=radius, n_loop=n_loop)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    adot = 2.0 * np.pi / (dt * (n_loop - 1))
+    spf = int(round(dt * imu_hz))
+    dts = 1.0 / imu_hz
+    imu = np.zeros((n_frames - 1, spf, 7), np.float32)
+    vel = np.zeros((n_frames, 3), np.float32)
+    for i in range(n_frames):
+        a = adot * i * dt
+        vel[i] = radius * adot * np.array([np.cos(a), 0.0, np.sin(a)])
+    for i in range(n_frames - 1):
+        for k in range(spf):
+            t = i * dt + k * dts
+            a = adot * t
+            R = np.asarray(lie.so3_exp(
+                jnp.asarray([0.0, np.pi - a, 0.0], jnp.float32)))
+            acc_w = -radius * adot * adot * np.array(
+                [np.sin(a), 0.0, -np.cos(a)], np.float32)
+            omega_w = np.array([0.0, -adot, 0.0], np.float32)
+            acc_b = R.T @ (acc_w - G) + rng.normal(0, acc_noise, 3)
+            gyr_b = R.T @ omega_w + rng.normal(0, gyro_noise, 3)
+            imu[i, k] = np.concatenate([acc_b, gyr_b, [dts]])
+    imgs_l = np.zeros((n_frames, h, w), np.float32)
+    imgs_r = np.zeros((n_frames, h, w), np.float32)
+    b_off = np.array([baseline, 0.0, 0.0], np.float32)
+    for i in range(n_frames):
+        R_cw = R_wc[i].T
+        imgs_l[i] = render(world, K, R_cw, -R_cw @ t_wc[i], h, w)
+        C_r = t_wc[i] + R_wc[i] @ b_off
+        imgs_r[i] = render(world, K, R_cw, -R_cw @ C_r, h, w)
+    ts = np.arange(n_frames) * dt
+    return StereoInertialSequence(
+        imgs_l, imgs_r, ts, R_wc, t_wc, K, baseline, imu, imu_hz, vel
+    )
+
+
 class RGBDSequence(NamedTuple):
     imgs: np.ndarray     # (T, H, W)
     depths: np.ndarray   # (T, H, W) metric depth (-1 unknown)

@@ -26,13 +26,20 @@ from orb_slam3_vio_fixes_tpu.optim import ba_core
 from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, unproject
 
 
+def _sync(out):
+    # block_until_ready does not truly synchronize on the tunneled TPU
+    # backend; a 1-element D2H read is the honest barrier
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0:1])
+
+
 def bench_fn(fn, args, n=30, name=""):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:28s} {dt * 1e3:8.2f} ms")
     return out
