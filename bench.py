@@ -69,11 +69,19 @@ def run_pass(tr, seq, timed: bool):
     n = seq.imgs_l.shape[0]
     per_frame = []
     t0 = None
+    # double-buffered H2D: quantize+upload frame i+1 while the device tracks
+    # frame i (the 2x722 KB tunnel transfer otherwise sits on the critical
+    # path — a real pipeline DMAs the next camera frame the same way)
+    nxt = (tr._upload_image(seq.imgs_l[0]), tr._upload_image(seq.imgs_r[0]))
     for i in range(n):
         if i == 1 and timed:
             t0 = time.perf_counter()
         f0 = time.perf_counter()
-        tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+        cur = nxt
+        tr.process_stereo(cur[0], cur[1], seq.ts[i])
+        if i + 1 < n:
+            nxt = (tr._upload_image(seq.imgs_l[i + 1]),
+                   tr._upload_image(seq.imgs_r[i + 1]))
         per_frame.append(time.perf_counter() - f0)
     tr.flush()
     jax.block_until_ready(tr.state.lm_pos)
@@ -85,14 +93,19 @@ def run_pass(tr, seq, timed: bool):
 def main():
     seq = make_sequence()
 
-    # pass 1: compile warm-up (fresh tracker exercises every kernel shape)
+    # pass 1: compile warm-up (fresh tracker exercises every kernel shape,
+    # including the async-mode 1-round local-BA variant)
     tr = build_tracker(seq)
+    tr.pipelined = True
+    tr.async_kf = True
     run_pass(tr, seq, timed=False)
     n_kf_warm = len(tr.kf_order)
 
-    # pass 2: timed, fresh tracker, all kernels cached, pipelined
+    # pass 2: timed, fresh tracker, all kernels cached, pipelined + async
+    # keyframe stages (the mapping/loop "threads" as bounded per-frame jobs)
     tr = build_tracker(seq)
     tr.pipelined = True
+    tr.async_kf = True
     fps, per_frame = run_pass(tr, seq, timed=True)
 
     ms_arr = 1e3 * np.asarray(per_frame[1:])

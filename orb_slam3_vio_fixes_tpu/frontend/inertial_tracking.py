@@ -487,14 +487,20 @@ class StereoInertialTracker(trk.StereoTracker):
         else:
             R_pred, t_pred = self.R, self.t
 
+        # motion-model matching radii come from self.match_radius like the
+        # visual tracker (previously hardcoded 7/14 px here, which silently
+        # ignored wider settings and lost tracking on fast yaw motion —
+        # the round-3 stereo-inertial loop e2e failure)
         cur_obs, n_m = trk.match_previous(
-            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-            frame, self.cam, self.bf, jnp.float32(7.0), cfg,
+            self.state, self.prev_obs, self.prev_octave, self.prev_angle,
+            R_pred, t_pred, frame, self.cam, self.bf,
+            jnp.float32(self.match_radius[0]), cfg,
         )
         if int(n_m) < 20:
             cur_obs, n_m = trk.match_previous(
-                self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-                frame, self.cam, self.bf, jnp.float32(14.0), cfg,
+                self.state, self.prev_obs, self.prev_octave, self.prev_angle,
+                R_pred, t_pred, frame, self.cam, self.bf,
+                jnp.float32(self.match_radius[1]), cfg,
             )
 
         if self.imu_ready:
@@ -534,6 +540,35 @@ class StereoInertialTracker(trk.StereoTracker):
 
         n_inl2_i = int(n_inl2)
         self.last_n_inliers = n_inl2_i
+        if n_inl2_i < cfg.min_kf_inliers and self.ref_kf >= 0:
+            # reference-keyframe fallback: WINDOWLESS descriptor matching
+            # survives image motion the motion-model window cannot — the
+            # reference falls back to TrackReferenceKeyFrame in both the
+            # visual and inertial modes (src/Tracking.cc:1953-1955); without
+            # it the inertial tracker dies on fast yaw where the visual
+            # tracker recovers (the round-3 inertial-loop e2e failure)
+            R2f, t2f, obs_f, packed_f = trk.track_reference_kf(
+                self.state, jnp.int32(self.ref_kf), R_pred, t_pred, frame,
+                window, self.cam, self.bf,
+                jnp.float32(self._local_search_th()), cfg)
+            n_f = int(np.asarray(packed_f)[13])
+            # accept only a DECISIVE win: a marginal fallback pose rebases
+            # the body state off the IMU-consistent track and (measured)
+            # corrupts the mono-inertial scale; a genuine fast-motion
+            # recovery beats the starved motion-model attempt by far
+            if n_f >= max(cfg.min_kf_inliers, 3 * max(n_inl2_i, 1)):
+                R2, t2, cur_obs = R2f, t2f, obs_f
+                n_inl2_i = n_f
+                self.last_n_inliers = n_f
+                R_wb, p_wb = body_from_cam(
+                    R2, t2, self.calib.R_bc.T,
+                    -self.calib.R_bc.T @ self.calib.t_bc)
+                self.body = BodyState(R_wb, p_wb, self.body.v,
+                                      self.body.bg, self.body.ba)
+                if self.imu_ready:
+                    # the pose jumped off the marginal prior's
+                    # linearization point — restart with a weak prior
+                    self.prior_H = jnp.eye(15) * 1e2
         if n_inl2_i < cfg.min_kf_inliers:
             return self._handle_lost(
                 frame, ts, R_pred, t_pred, cur_obs,
@@ -604,6 +639,7 @@ class StereoInertialTracker(trk.StereoTracker):
     def _reset_active_map_bad_imu(self):
         """Drop the active map and restart (no stash — the map scale/gravity
         is untrustworthy; reference: ResetActiveMap via mbBadImu)."""
+        self._kf_jobs.clear()    # pending stages reference dying slots
         self._freeze_trajectory()
         self.state = ms.empty(self.cfg.map)
         self.n_kf = 0
@@ -613,6 +649,7 @@ class StereoInertialTracker(trk.StereoTracker):
         self.vel = None
         self.prev_obs = None
         self.prev_octave = None
+        self.prev_angle = None
         self.frames_since_kf = 0
         self.ref_inliers = 1
         self.lost_frames = 0
@@ -826,10 +863,21 @@ class StereoInertialTracker(trk.StereoTracker):
             pose_fixed = np.zeros(K, bool)
             pose_fixed[self.kf_order[0]] = True
         inertial = self._full_map_imu_factors()
-        self.state, _ = vg.run_global_vi_ba(
-            self.state, inertial, trk.octave_inv_sigma2(self.cfg.orb),
-            self.cam, self.bf, self.calib, jnp.asarray(pose_fixed),
-            n_levels=self.cfg.orb.n_levels, scale=self.cfg.orb.scale)
+        mesh = getattr(self.loop_closer, "mesh", None) \
+            if self.loop_closer is not None else None
+        if mesh is not None:
+            # landmark-sharded FullInertialBA over the mesh — the inertial
+            # loop/merge GBA rides the same distribution as the visual GBA
+            self.state, _ = vg.run_global_vi_ba_sharded(
+                self.state, inertial, trk.octave_inv_sigma2(self.cfg.orb),
+                self.cam, self.bf, self.calib, jnp.asarray(pose_fixed),
+                mesh, n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale)
+        else:
+            self.state, _ = vg.run_global_vi_ba(
+                self.state, inertial, trk.octave_inv_sigma2(self.cfg.orb),
+                self.cam, self.bf, self.calib, jnp.asarray(pose_fixed),
+                n_levels=self.cfg.orb.n_levels, scale=self.cfg.orb.scale)
 
     def _post_loop_gba(self, kf_id):
         """Inertial GBA after a loop correction = FullInertialBA over the
@@ -896,35 +944,61 @@ class StereoInertialTracker(trk.StereoTracker):
         v0[-1] = v0[-2]
 
         factors = ii.factors_from_preintegrations(idx_i, idx_j, pres, pvalid)
-        s_init = 1.0
+        seed_scales = [1.0]
         if not self.icfg.fix_scale:
-            # monocular: closed-form linear alignment seeds scale + gravity +
-            # velocities — the map scale after two-view init is arbitrary and
-            # can sit far outside the LM basin around s=1
+            # monocular: the two-view init scale is ARBITRARY — the true
+            # correction can sit orders of magnitude outside the LM basin
+            # around s=1. Seed from the closed-form linear alignment when it
+            # is well-posed, and ALWAYS multi-start over log-spaced scales
+            # (the alignment degenerates — even to negative s — on short
+            # noisy windows; the reference survives because its 2 s / 10-KF
+            # init window is better conditioned, src/LocalMapping.cc:1178)
+            seed_scales = [0.25, 1.0, 4.0, 16.0]
             v_al, g_al, s_al = ii.visual_inertial_alignment(R_wb, p_wb, factors)
             if np.isfinite(s_al) and 1e-3 < s_al < 1e3:
-                s_init = s_al
+                seed_scales = [float(s_al)] + seed_scales
                 g_dir = -g_al / max(np.linalg.norm(g_al), 1e-9)
                 R_wg = ii.gravity_bootstrap(
                     jnp.eye(3)[None], jnp.asarray(g_dir)[None],
                     jnp.ones(1, bool))
                 # optimizer velocities are pre-scale (v_metric = s * v_opt)
-                v0 = np.asarray(v_al, np.float32) / s_init
+                v0 = np.asarray(v_al, np.float32) / max(float(s_al), 1e-6)
         # rotate world to put bootstrap gravity along -Z first
         R_gw = R_wg.T
         R_wb_g = jnp.einsum("ij,kjl->kil", R_gw, R_wb)
         p_wb_g = jnp.einsum("ij,kj->ki", R_gw, p_wb)
-        v, bg, ba, Rwg2, scale, chi2 = ii.inertial_optimization(
-            R_wb_g, p_wb_g, jnp.einsum("ij,kj->ki", R_gw, jnp.asarray(v0)),
-            factors,
-            ii.InertialInitConfig(fix_scale=self.icfg.fix_scale,
-                                  n_iters=60),
-            scale_init=jnp.float32(s_init),
-        )
+        v0_g = jnp.einsum("ij,kj->ki", R_gw, jnp.asarray(v0))
+        # EIV-aware whitening for the free-scale (mono) init: visual pose
+        # noise enters the residual scaled by s, and with the raw
+        # preintegration weighting it drags the scale estimate toward 0
+        # (see InertialInitConfig.sigma_vis_*). Position floor ~10% of the
+        # median keyframe baseline in map units; rotation floor 0.3 deg.
+        sv_pos = 0.0
+        sv_rot = 0.0
+        if not self.icfg.fix_scale:
+            bas = np.linalg.norm(np.diff(np.asarray(p_wb), axis=0), axis=1)
+            sv_pos = 0.1 * float(np.median(bas)) if bas.size else 0.0
+            # 1-significant-digit quantization: the value sits in the static
+            # jit config — unquantized it would recompile per map
+            sv_pos = float(f"{sv_pos:.0e}") if sv_pos > 0 else 0.0
+            sv_rot = 5e-3
+        init_cfg = ii.InertialInitConfig(
+            fix_scale=self.icfg.fix_scale, n_iters=60,
+            sigma_vis_rot=sv_rot, sigma_vis_pos=sv_pos)
+        best = None
+        for s_init in seed_scales:
+            v_c, bg_c, ba_c, Rwg2_c, scale_c, chi2_c = ii.inertial_optimization(
+                R_wb_g, p_wb_g, v0_g, factors, init_cfg,
+                scale_init=jnp.float32(s_init),
+            )
+            c = float(chi2_c[-1])
+            if best is None or c < best[0]:
+                best = (c, s_init, (v_c, bg_c, ba_c, Rwg2_c, scale_c, chi2_c))
+        _, s_init, (v, bg, ba, Rwg2, scale, chi2) = best
         if os.environ.get("ORB_TPU_DEBUG_INIT"):
-            print(f"[imu-init] K={K} nodes={nodes} s_init={s_init:.4f} "
-                  f"s={float(scale):.4f} chi2={float(chi2[-1]):.1f}",
-                  flush=True)
+            print(f"[imu-init] K={K} nodes={nodes} seeds={seed_scales} "
+                  f"won s_init={s_init:.4f} s={float(scale):.4f} "
+                  f"chi2={float(chi2[-1]):.1f}", flush=True)
         # total world correction: refined gravity dir on top of bootstrap
         R_gw_total = Rwg2.T @ R_gw
         kf_R2, kf_t2, kf_vel2, lm2 = ii.apply_scaled_rotation(
@@ -1002,7 +1076,12 @@ class MonoInertialTracker(StereoInertialTracker):
         self.init_window = init_window
         self.ref_frame = None
         self.rng = jax.random.PRNGKey(0)
-        self.match_radius = (15.0, 30.0)
+        # narrow/wide motion-model radii. Mono-inertial keeps the narrow
+        # visual default: with the IMU prediction the projected window is
+        # centered well, and a wide FIRST window on repeated texture admits
+        # aliased matches that measurably degrade the recovered scale
+        # (ATE 0.10 -> 0.37 on the mono-inertial e2e at (15, 30))
+        self.match_radius = (7.0, 14.0)
 
     def process_mono_inertial(self, img, ts: float, imu_np):
         from orb_slam3_vio_fixes_tpu.frontend.frame import build_mono_frame

@@ -178,11 +178,25 @@ def verify_candidate(
     R0 = R_k @ R_c.T
     t0 = t_k - R0 @ t_c
     guided = project_and_match(R0, t0, jnp.float32(1.0), guided_radius)
-    g_ok = guided.idx >= 0
+    # appearance-only matches (no pose prior): the reference's drift-
+    # independent SearchByBoW path (src/LoopClosing.cc:578-896, SearchByBoW
+    # src/ORBmatcher.cc:223 with TH_LOW + ratio + rotation histogram). A loop
+    # whose accumulated drift exceeds guided_radius produces no guided pairs
+    # — these still fire. The union keeps guided precision when drift is
+    # small and appearance recall when it is not; Sim3 RANSAC + the strict
+    # refined-Sim3 verification below gate out appearance aliasing.
+    app = matching.match_descriptors(
+        state.kf_desc[c], has_c,
+        state.kf_desc[k], state.kf_feat_valid[k],
+        angle_q=state.kf_angle[c], angle_t=state.kf_angle[k],
+        ratio=0.75, max_dist=matching.TH_LOW,
+        check_rotation=True, mutual=True)
+    st1_idx = jnp.where(guided.idx >= 0, guided.idx, app.idx)
+    g_ok = st1_idx >= 0
     n_guided = jnp.sum(g_ok.astype(jnp.int32))
 
-    # ---- stage 2: Sim3 RANSAC on guided pairs with 3D on both sides ----
-    gj = jnp.clip(guided.idx, 0, N - 1)
+    # ---- stage 2: Sim3 RANSAC on stage-1 pairs with 3D on both sides ----
+    gj = jnp.clip(st1_idx, 0, N - 1)
     cur_lm = obs_k[gj]
     cur_bound = (cur_lm >= 0) & state.lm_valid[jnp.clip(cur_lm, 0, L - 1)]
     X_cur_lm = jnp.einsum(
@@ -321,8 +335,10 @@ class LoopCloser:
         self.loop_edges = []   # (i_cand, j_cur, (R, t, s)) accepted loops
         self.n_corrections = 0
         # every gate-passing hit (pre-consistency): margin bookkeeping for
-        # tests ("matched-count margin >= 2x the gate")
+        # tests ("matched-count margin >= 2x the gate"); bounded so long
+        # production runs don't grow it without limit
         self.hits = []         # dicts: kf, cand, n_m, n_ransac, n_proj, n_ref
+        self.max_hits = 256
         # temporal-consistency chain (reference: mnLoopNumCoincidences over
         # consecutive keyframes, src/LoopClosing.cc:374-464)
         self._pending_group = None   # set of KF slots around the candidate
@@ -420,6 +436,7 @@ class LoopCloser:
             self.hits.append(dict(kf=kf_id, cand=cand, n_m=n_m,
                                   n_ransac=n_ransac, n_proj=n_proj,
                                   n_ref=n_ref))
+            del self.hits[:-self.max_hits]
             hit = (cand, n_m, n_ref, n_proj, sim)
             break
         if hit is None:

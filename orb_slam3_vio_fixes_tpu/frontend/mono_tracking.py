@@ -186,11 +186,13 @@ class MonocularTracker(trk.StereoTracker):
             np.concatenate([[1], np.full(self.cfg.ba_window - 1, -1)]).astype(np.int32))
         fixed = jnp.asarray(
             np.concatenate([[0], np.full(self.cfg.ba_anchors - 1, -1)]).astype(np.int32))
-        self.state = trk.local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
+        self.state, _ = trk.local_ba(self.state, adj, fixed, self.cam,
+                                     self.bf, self.cfg)
         self.R = self.state.kf_R[1]
         self.t = self.state.kf_t[1]
         self.prev_obs = self.state.kf_obs[1]
         self.prev_octave = frame.octave
+        self.prev_angle = frame.angle
         self.track_state = trk.TrackState.OK
         self.frames_since_kf = 0
         self.ref_inliers = self.n_lm

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import time
+from collections import deque
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -57,9 +58,25 @@ class TrackerConfig(NamedTuple):
     enable_kf_culling: bool = True
     enable_growth: bool = True     # capacity-tier doubling on overflow
     ba_anchors: int = 16           # fixed observer keyframes in local BA
+    rot_check_motion: bool = False  # rotation-consistency histogram on the
+    # motion-model matches (reference: mbCheckOrientation in frame-frame
+    # SearchByProjection, src/ORBmatcher.cc:180-210). The mechanism is in
+    # match_previous; it is OFF by default because the keypoint orientations
+    # on the synthetic sprite imagery are unstable across views (measured
+    # median 22 deg between true stereo pairs), so the histogram cuts true
+    # matches — on real imagery with stable IC angles, enable it.
     ba_factor_budget: int = 12288  # compacted factor rows in local BA (the
                                    # (W, N) table is ~2/3 padding; see
                                    # local_ba's compaction)
+    ba_lm_budget: int = 4096       # landmark slots in the local-BA
+    # sub-problem (distinct landmarks observable by the window; overflow
+    # factors are dropped and counted in ba_truncated)
+    ba_cg_iters: int = 16          # CG iterations per local-BA LM step. The
+    # local window has <= (ba_window) x 6 = ~48 reduced-camera dims, so CG
+    # converges far before the global solver's 40 (which stays at
+    # ba_core.LMConfig's default for full-map GBA); 40 -> 16 cuts the
+    # dominant keyframe-stage device time ~2.4x with no measurable ATE
+    # change on the e2e gates
     ba_rounds: int = 2             # local-BA chi2-gated rounds
     ba_iters: int = 3              # LM iterations per round (stereo/RGBD:
                                    # depth-anchored maps converge in a few;
@@ -92,6 +109,7 @@ def match_previous(
     state: ms.MapState,
     prev_obs: jax.Array,      # (N,) landmark ids from the previous frame
     prev_octave: jax.Array,   # (N,) octave at which each was seen
+    prev_angle: jax.Array,    # (N,) keypoint orientation in the prev frame
     R_pred, t_pred,
     frame: FrameData,
     cam: Camera, bf,
@@ -100,7 +118,12 @@ def match_previous(
 ):
     """Motion-model matching: project previous frame's landmarks with the
     predicted pose, window-search in the new frame
-    (reference: TrackWithMotionModel src/Tracking.cc:2854-2947)."""
+    (reference: TrackWithMotionModel src/Tracking.cc:2854-2947). A rotation-
+    consistency histogram over (prev keypoint angle - new keypoint angle)
+    strips aliased window matches, exactly like the reference's
+    mbCheckOrientation pass (src/ORBmatcher.cc:180-210) — without it, a
+    widened search radius on repeated texture floods pose optimization with
+    wrong pairs and the pose estimate collapses."""
     L = state.lm_pos.shape[0]
     ids = jnp.clip(prev_obs, 0, L - 1)
     has = (prev_obs >= 0) & state.lm_valid[ids]
@@ -121,6 +144,9 @@ def match_previous(
     N = frame.uv.shape[0]
     cur_obs = jnp.full(N, -1, jnp.int32)
     matched = res.idx >= 0
+    if cfg.rot_check_motion:
+        matched = matching.rotation_consistency(
+            prev_angle, frame.angle, res.idx, matched)
     tgt = jnp.clip(res.idx, 0, N - 1)
     cur_obs = cur_obs.at[tgt].set(jnp.where(matched, prev_obs, cur_obs[tgt]))
     return cur_obs, jnp.sum(matched.astype(jnp.int32))
@@ -129,7 +155,7 @@ def match_previous(
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_step(
     state: ms.MapState,
-    prev_obs, prev_octave,
+    prev_obs, prev_octave, prev_angle,
     R_pred, t_pred,
     frame: FrameData,
     window_kfs,
@@ -151,13 +177,13 @@ def track_step(
       [R2 (9), t2 (3), n_match, n_inliers, n_close_tracked, n_close_untracked].
     """
     cur_obs0, n_m0 = match_previous(
-        state, prev_obs, prev_octave, R_pred, t_pred, frame, cam, bf,
-        th_narrow, cfg)
+        state, prev_obs, prev_octave, prev_angle, R_pred, t_pred, frame,
+        cam, bf, th_narrow, cfg)
 
     def wide(_):
         return match_previous(
-            state, prev_obs, prev_octave, R_pred, t_pred, frame, cam, bf,
-            th_wide, cfg)
+            state, prev_obs, prev_octave, prev_angle, R_pred, t_pred, frame,
+            cam, bf, th_wide, cfg)
 
     cur_obs, n_m = jax.lax.cond(
         n_m0 < 20, wide, lambda _: (cur_obs0, n_m0), None)
@@ -460,10 +486,35 @@ def local_ba(
     # fixed budget; outlier flags are scattered back through the same index.
     F_full = pose_idx.shape[0]
     F_budget = min(F_full, cfg.ba_factor_budget)
+    # valid observations beyond the budget are EXCLUDED from this solve —
+    # surface the count so silent coverage loss is visible at production
+    # scale (callers accumulate into Tracker.ba_truncated)
+    n_trunc = jnp.maximum(
+        jnp.sum(valid.astype(jnp.int32)) - jnp.int32(F_budget), 0)
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)[:F_budget]
     factors = ba_core.ReprojFactors(
         pose_idx[order], lm_idx[order], uvr[order], inv_s2[order],
         valid[order])
+    # COMPACT the landmark axis too: every LM iteration otherwise runs
+    # landmark-table-sized ops (Hll scatter/inverse/back-substitution) over
+    # the full MAP CAPACITY — measured 296 ms/solve at a 32k-slot tier vs
+    # 101 ms at 8k with the SAME ~1.2k live landmarks. The window can only
+    # observe <= F_budget distinct landmarks, so gather them into a dense
+    # sub-table once, solve, and scatter the solved positions back.
+    L = state.lm_pos.shape[0]
+    lm_budget = min(L, cfg.ba_lm_budget)
+    used = jnp.zeros(L, bool).at[
+        jnp.clip(factors.lm_idx, 0, L - 1)].max(factors.valid)
+    sub_idx = jnp.argsort(jnp.where(used, 0, 1), stable=True)[:lm_budget]
+    remap = jnp.full(L, -1, jnp.int32).at[sub_idx].set(
+        jnp.arange(lm_budget, dtype=jnp.int32))
+    lm_local = remap[jnp.clip(factors.lm_idx, 0, L - 1)]
+    got_slot = lm_local >= 0
+    n_trunc = n_trunc + jnp.sum((factors.valid & ~got_slot).astype(jnp.int32))
+    factors = factors._replace(
+        lm_idx=jnp.clip(lm_local, 0, lm_budget - 1),
+        valid=factors.valid & got_slot)
+    used_sub = used[sub_idx]
     # landmarks seen by a single keyframe have weakly-determined depth; keep
     # them anchored at their stereo-spawned position until a second view
     # constrains them (the reference's MapPointCulling plays the same role by
@@ -472,24 +523,28 @@ def local_ba(
     problem = ba_core.BAProblem(
         R=state.kf_R[safe_w], t=state.kf_t[safe_w],
         pose_fixed=fixed,
-        lm=state.lm_pos, lm_valid=state.lm_valid,
-        lm_fixed=n_obs < 2,
+        lm=state.lm_pos[sub_idx],
+        lm_valid=state.lm_valid[sub_idx] & used_sub,
+        lm_fixed=(n_obs < 2)[sub_idx],
         factors=factors, cam=cam, bf=bf,
     )
     # chi2-gated rounds (reference: 5+10 with the common abort — depth-
     # anchored maps converge in a few iterations; mono configs run more)
     out, inlier_c, chi2 = ba_core.bundle_adjust(
         problem, ba_core.LMConfig(n_rounds=cfg.ba_rounds,
-                                  n_iters=cfg.ba_iters)
+                                  n_iters=cfg.ba_iters,
+                                  cg_iters=cfg.ba_cg_iters)
     )
     # un-compact the inlier mask
     inlier = jnp.ones(F_full, bool).at[order].set(inlier_c | ~factors.valid)
     # write back adjusted poses (only adjustable, valid ones)
     upd = w_ok & ~fixed
+    lm_upd = used_sub & state.lm_valid[sub_idx] & ~problem.lm_fixed
     state = state._replace(
         kf_R=state.kf_R.at[safe_w].set(jnp.where(upd[:, None, None], out.R, state.kf_R[safe_w])),
         kf_t=state.kf_t.at[safe_w].set(jnp.where(upd[:, None], out.t, state.kf_t[safe_w])),
-        lm_pos=out.lm,
+        lm_pos=state.lm_pos.at[sub_idx].set(
+            jnp.where(lm_upd[:, None], out.lm, state.lm_pos[sub_idx])),
         epoch=state.epoch + 1,
     )
     # remove outlier observations: factor (w, feat) invalid -> kf_obs = -1
@@ -502,7 +557,7 @@ def local_ba(
             jnp.where(only_real, new_rows, state.kf_obs[safe_w])
         )
     )
-    return state
+    return state, n_trunc
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +601,9 @@ class StereoTracker:
         self.localization_only = False   # reference: ActivateLocalizationMode
         self.state = ms.empty(cfg.map)
         self.track_state = TrackState.NOT_INITIALIZED
+        # valid BA factors dropped by the ba_factor_budget compaction —
+        # accumulated lazily on device; pull with int(self.ba_truncated)
+        self.ba_truncated = jnp.int32(0)
         self.n_kf = 0   # slot allocation cursor (monotonic per map)
         self.n_lm = 0
         self.kf_order = []  # temporal order of LIVE keyframe slots
@@ -554,6 +612,7 @@ class StereoTracker:
         self.vel = None  # (dR, dt) of T_cw_cur @ T_wc_prev
         self.prev_obs = None
         self.prev_octave = None
+        self.prev_angle = None
         self.frames_since_kf = 0
         self.ref_inliers = 1
         self.last_n_inliers = 0
@@ -581,6 +640,13 @@ class StereoTracker:
         self.pipelined = False
         self._pending = None
         self._last_pose = (np.eye(3), np.zeros(3))
+        # asynchronous keyframe-rate work (see _insert_keyframe): stages run
+        # as bounded jobs, one per frame gap, instead of inline — the
+        # reference's LocalMapping/LoopClosing threads expressed for a
+        # single in-order device queue
+        self.async_kf = False
+        self._kf_jobs = deque()
+        self._kf_nlm_dev = jnp.int32(0)
 
     def _mark(self, name: str, t0: float, out) -> float:
         """Profiling stage boundary: block + record when self.times is set.
@@ -638,10 +704,12 @@ class StereoTracker:
         if a.dtype == np.uint8:
             return jnp.asarray(a)
         if a.dtype in (np.float32, np.float64) and a.size:
-            # 8.8 fixed point: half the float32 upload, 1/256-gray precision
-            # (uint8 would cost sub-pixel accuracy on clean imagery)
-            return jnp.asarray(
-                np.clip(np.rint(a * 256.0), 0, 65535).astype(np.uint16))
+            # quantize to uint8 (1-gray precision): 4x less H2D than float32
+            # — on the tunneled TPU the 2x722 KB/frame upload sits on the
+            # critical path, and 1-gray quantization is far below the
+            # sensor-noise floor (real cameras deliver uint8 anyway; the
+            # e2e GT gates measure no ATE change vs the old 8.8 fixed point)
+            return jnp.asarray(np.clip(np.rint(a), 0, 255).astype(np.uint8))
         return jnp.asarray(a)
 
     def _build_stereo(self, img_l, img_r, ts: float):
@@ -678,18 +746,23 @@ class StereoTracker:
         )
         return self.process_frame(frame, ts)
 
-    def flush(self):
-        """Finalize the in-flight pipelined frame (no-op in sync mode)."""
+    def flush(self, drain_jobs: bool = True):
+        """Finalize the in-flight pipelined frame; with drain_jobs (the
+        end-of-run default) also complete every pending keyframe-stage job.
+        process_frame passes drain_jobs=False — mid-stream, jobs run one per
+        frame gap on purpose."""
         if self._pending is not None:
             p, self._pending = self._pending, None
             self._finalize_track(*p)
+        if drain_jobs:
+            self._drain_kf_jobs()
 
     def process_frame(self, frame: FrameData, ts: float):
         cfg = self.cfg
         # finalize the previous pipelined frame FIRST: its decisions
         # (fallback, lost transition, keyframe insert) must land before this
         # frame's tracking is dispatched — same order as sync mode
-        self.flush()
+        self.flush(drain_jobs=False)
         if self.track_state == TrackState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             self._record(ts)
@@ -737,8 +810,8 @@ class StereoTracker:
         self.frames_since_reloc += 1
         window = self._local_window()
         R2, t2, cur_obs, packed = track_step(
-            self.state, self.prev_obs, self.prev_octave, R_pred, t_pred,
-            frame, window, self.cam, self.bf,
+            self.state, self.prev_obs, self.prev_octave, self.prev_angle,
+            R_pred, t_pred, frame, window, self.cam, self.bf,
             jnp.float32(self.match_radius[0]),
             jnp.float32(self.match_radius[1]),
             jnp.float32(self._local_search_th()), cfg,
@@ -754,9 +827,13 @@ class StereoTracker:
             # itself can be the overlapped stage).
             self._pending = (frame, ts, R2, t2, cur_obs, packed,
                              R_pred, t_pred, window)
+            # one bounded keyframe-stage job rides this frame gap (async_kf)
+            self._run_kf_job()
             return self._last_pose + (self.track_state,)
-        return self._finalize_track(frame, ts, R2, t2, cur_obs, packed,
-                                    R_pred, t_pred, window)
+        out = self._finalize_track(frame, ts, R2, t2, cur_obs, packed,
+                                   R_pred, t_pred, window)
+        self._run_kf_job()
+        return out
 
     def _finalize_track(self, frame, ts, R2, t2, cur_obs, packed,
                         R_pred, t_pred, window):
@@ -889,12 +966,20 @@ class StereoTracker:
         self.R, self.t = R, t
         self.prev_obs = cur_obs
         self.prev_octave = frame.octave
+        self.prev_angle = frame.angle
 
     def _initialize(self, frame):
         """Stereo initialization (reference: src/Tracking.cc:2335-2446):
-        first frame with enough stereo points becomes KF0 at the origin."""
+        first frame with enough stereo points becomes KF0 at the origin.
+
+        The reference's gate is a FEATURE count (N > 500 of 1200, i.e. 42%),
+        not a stereo-match count — it then spawns every positive-depth point.
+        A strict stereo-point gate (>=100, the round-3 behavior) delayed
+        initialization by seconds on feature-sparse scenes, exporting every
+        pre-init frame at identity (the V101/MH03 GT-gate ATE misses)."""
+        n_feat = int(jnp.sum(frame.valid))
         n_stereo = int(jnp.sum((frame.depth > 0) & frame.valid))
-        if n_stereo < 100:
+        if n_feat < int(0.4 * frame.valid.shape[0]) or n_stereo < 50:
             return False
         R0 = jnp.eye(3)
         t0 = jnp.zeros(3)
@@ -910,6 +995,7 @@ class StereoTracker:
         self.prev_obs = np.asarray(self.state.kf_obs[0])
         self.prev_obs = jnp.asarray(self.prev_obs)
         self.prev_octave = frame.octave
+        self.prev_angle = frame.angle
         self.R, self.t = R0, t0
         self.track_state = TrackState.OK
         self.frames_since_kf = 0
@@ -1084,8 +1170,23 @@ class StereoTracker:
         reference: src/LocalMapping.cc:1020-1041)."""
 
     def _insert_keyframe(self, frame, R, t, cur_obs):
+        """Keyframe insertion. Sync mode runs every local-mapping stage
+        inline (reference pipeline order, src/LocalMapping.cc:83-250:
+        triangulate -> fuse -> local BA -> cull -> loop). With
+        `self.async_kf` set, only keyframe CREATION is inline; the
+        keyframe-rate stages are split into bounded-cost jobs executed one
+        per subsequent frame gap — the TPU-appropriate form of the
+        reference's mapping/loop THREADS (src/System.cc:194-237): a single
+        in-order device queue cannot run two programs at once, so
+        "overlapping" means interleaving bounded mapping slices between
+        tracking dispatches, which caps the per-frame latency spike
+        (p95) at one slice instead of the whole pipeline."""
         prof = self.times is not None
         t0 = time.perf_counter() if prof else 0.0
+        # any stages still pending for the PREVIOUS keyframe must land
+        # before this one is created (keeps every host counter exact; the
+        # reference's InterruptBA analogue below drops superseded BA instead)
+        self._drain_kf_jobs()
         self._maybe_grow()
         kf_id = self.n_kf
         prev_kf = self.kf_order[-1] if self.kf_order else -1
@@ -1097,37 +1198,76 @@ class StereoTracker:
             self.state, jnp.int32(kf_id), n_lm_dev, frame, R, t,
             cur_obs, jnp.int32(prev_kf), self.cam, self.bf, self.cfg,
         )
-        n_lm_dev = n_lm_dev + n_created
+        self._kf_nlm_dev = n_lm_dev + n_created
         if prof:
             t0 = self._mark("kf.1_create", t0, n_created)
         self.n_kf += 1
         self.kf_order.append(kf_id)
         self.frames_since_kf = 0
-        # synchronous local-mapping stages, reference pipeline order
-        # (src/LocalMapping.cc:83-250): triangulate -> fuse -> local BA -> cull
+        if self.async_kf:
+            self._refresh_ref_pose(kf_id, (np.asarray(R, np.float64),
+                                           np.asarray(t, np.float64)))
+            self._kf_jobs.append(lambda: self._kf_stage_map(kf_id))
+            for r in range(self.cfg.ba_rounds):
+                self._kf_jobs.append(
+                    functools.partial(self._kf_stage_ba, kf_id))
+            self._kf_jobs.append(lambda: self._kf_stage_cull(kf_id))
+            self._kf_jobs.append(lambda: self._kf_stage_finalize(kf_id))
+            return
+        self._kf_stage_map(kf_id, prof=prof)
+        self._kf_stage_ba(kf_id, n_rounds=self.cfg.ba_rounds, prof=prof)
+        self._kf_stage_cull(kf_id, prof=prof)
+        self._kf_stage_finalize(kf_id, prof=prof)
+
+    def _run_kf_job(self):
+        """Execute ONE pending keyframe-stage job (called once per frame)."""
+        if self._kf_jobs:
+            self._kf_jobs.popleft()()
+
+    def _drain_kf_jobs(self):
+        while self._kf_jobs:
+            self._kf_jobs.popleft()()
+
+    def _kf_stage_map(self, kf_id, prof=False):
+        """Triangulate new landmarks + fuse duplicates (reference:
+        CreateNewMapPoints + SearchInNeighbors, src/LocalMapping.cc:388,714)."""
+        t0 = time.perf_counter() if prof else 0.0
         lcfg = self._lm_cfg()
         neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
-        prev_live = self.kf_order[:-1][::-1][: lcfg.n_neighbors]
-        for i, k in enumerate(prev_live):
+        prev_live = [k for k in self.kf_order if k != kf_id][::-1]
+        for i, k in enumerate(prev_live[: lcfg.n_neighbors]):
             neighbors[i] = k
         self.state, n_tri = lm_mod.create_new_landmarks(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors),
-            n_lm_dev, self.cam, self.bf, lcfg,
+            self._kf_nlm_dev, self.cam, self.bf, lcfg,
         )
-        n_lm_dev = n_lm_dev + n_tri
+        self._kf_nlm_dev = self._kf_nlm_dev + n_tri
         if prof:
             t0 = self._mark("kf.2_triangulate", t0, n_tri)
         self.state = lm_mod.fuse_duplicates(
             self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
         )
         if prof:
-            t0 = self._mark("kf.3_fuse", t0, self.state.kf_obs)
+            self._mark("kf.3_fuse", t0, self.state.kf_obs)
+
+    def _kf_stage_ba(self, kf_id, n_rounds=1, prof=False):
+        """One (or n_rounds) chi2-gated local-BA round(s); in async mode each
+        round is its own bounded job (the reference's interruptible-BA
+        granularity, src/LocalMapping.cc:288)."""
+        t0 = time.perf_counter() if prof else 0.0
         adj, fixed = self._ba_window(kf_id)
         if prof:
             t0 = self._mark("kf.4_ba_window", t0, fixed)
-        self.state = local_ba(self.state, adj, fixed, self.cam, self.bf, self.cfg)
+        cfg = self.cfg._replace(ba_rounds=n_rounds)
+        self.state, n_tr = local_ba(self.state, adj, fixed, self.cam,
+                                    self.bf, cfg)
+        self.ba_truncated = self.ba_truncated + n_tr
         if prof:
-            t0 = self._mark("kf.5_local_ba", t0, self.state.lm_pos)
+            self._mark("kf.5_local_ba", t0, self.state.lm_pos)
+
+    def _kf_stage_cull(self, kf_id, prof=False):
+        t0 = time.perf_counter() if prof else 0.0
+        lcfg = self._lm_cfg()
         # landmark culling every 2nd keyframe: the redundancy criteria only
         # move when new observations land, and the pass costs a full
         # landmark-block program (reference culls per mapping iteration but
@@ -1142,9 +1282,12 @@ class StereoTracker:
                 and len(self.kf_order) > self.cfg.ba_window + 2):
             self._cull_keyframes()
         if prof:
-            t0 = self._mark("kf.7_cull_kf", t0, self.state.kf_valid)
+            self._mark("kf.7_cull_kf", t0, self.state.kf_valid)
+
+    def _kf_stage_finalize(self, kf_id, prof=False):
         # loop closing (reference: LoopClosing::InsertKeyFrame queue,
         # src/LocalMapping.cc:250 — synchronous call here, same kernels)
+        prof_t = time.perf_counter() if prof else 0.0
         if self.loop_closer is not None and self._loop_enabled():
             t0 = time.perf_counter() if prof else 0.0
             self.state, loop_res = self.loop_closer.on_keyframe(
@@ -1170,31 +1313,50 @@ class StereoTracker:
                     self.state, jnp.int32(kf_id), jnp.asarray(nb), self.cam,
                     lcfg2)
                 adj2, fixed2 = self._ba_window(kf_id)
-                self.state = local_ba(self.state, adj2, fixed2, self.cam,
-                                      self.bf, self.cfg)
-                # re-base the tracker onto the corrected keyframe pose and
-                # drop the (now invalid) velocity model, like the reference
-                # does after CorrectLoop
+                self.state, n_tr = local_ba(self.state, adj2, fixed2,
+                                            self.cam, self.bf, self.cfg)
+                self.ba_truncated = self.ba_truncated + n_tr
+                # re-base the tracker onto the corrected map and drop the
+                # (now invalid) velocity model, like the reference after
+                # CorrectLoop. In async mode the tracker has moved past this
+                # keyframe, so re-base through the reference keyframe's
+                # corrected pose (T_cw = T_cr * T_rw_corrected — the
+                # reference's map-update re-base, src/Tracking.cc:1890-1896)
                 self._post_loop_gba(kf_id)
-                self.R = self.state.kf_R[kf_id]
-                self.t = self.state.kf_t[kf_id]
+                if self.async_kf and self.ref_kf >= 0:
+                    R_rw, t_rw = self._ref_pose
+                    R_np = np.asarray(self.R, np.float64)
+                    t_np = np.asarray(self.t, np.float64)
+                    R_cr = R_np @ R_rw.T
+                    t_cr = t_np - R_cr @ t_rw
+                    R_new = np.asarray(self.state.kf_R[self.ref_kf],
+                                       np.float64)
+                    t_new = np.asarray(self.state.kf_t[self.ref_kf],
+                                       np.float64)
+                    self.R = jnp.asarray(R_cr @ R_new, jnp.float32)
+                    self.t = jnp.asarray(R_cr @ t_new + t_cr, jnp.float32)
+                    self._refresh_ref_pose(self.ref_kf, (R_new, t_new))
+                else:
+                    self.R = self.state.kf_R[kf_id]
+                    self.t = self.state.kf_t[kf_id]
                 self.vel = None
         # ONE pull for the keyframe's bookkeeping scalars + reference pose
         t0 = time.perf_counter() if prof else 0.0
         counts = np.asarray(jnp.concatenate([
             jnp.stack([
-                n_lm_dev.astype(jnp.float32),
+                self._kf_nlm_dev.astype(jnp.float32),
                 jnp.sum((self.state.kf_obs[kf_id] >= 0)).astype(jnp.float32)]),
             self.state.kf_R[kf_id].reshape(-1),
             self.state.kf_t[kf_id],
         ]))
         if prof:
-            self.times.add("kf.9_pull", time.perf_counter() - t0)
+            self.times.add("kf.9_pull", time.perf_counter() - prof_t)
         self.n_lm = int(counts[0])
         self.ref_inliers = max(int(counts[1]), 1)
-        self._refresh_ref_pose(kf_id, (
-            counts[2:11].reshape(3, 3).astype(np.float64),
-            counts[11:14].astype(np.float64)))
+        if not self.async_kf or self.ref_kf == kf_id:
+            self._refresh_ref_pose(kf_id, (
+                counts[2:11].reshape(3, 3).astype(np.float64),
+                counts[11:14].astype(np.float64)))
         # map merge against stored Atlas maps (reference: LoopClosing's merge
         # branch, src/LoopClosing.cc:120-183)
         if self.atlas is not None and self.atlas.stored:
@@ -1203,14 +1365,18 @@ class StereoTracker:
                 kf_id = self._adopt_merge(res, kf_id)
                 self.ref_inliers = max(
                     int(jnp.sum(self.state.kf_obs[kf_id] >= 0)), 1)
-        # rebind frame obs to the (possibly fused/culled) keyframe bindings
-        self.prev_obs = self.state.kf_obs[kf_id]
+        # rebind the frame's observations to the (possibly fused/culled)
+        # keyframe bindings — only while the keyframe is still the tracked
+        # frame (sync mode); in async mode later frames have moved prev_obs on
+        if not self.async_kf:
+            self.prev_obs = self.state.kf_obs[kf_id]
 
     # -- Atlas transitions --
 
     def _spawn_new_map(self):
         """Stash the active map (if big enough) and restart tracking on a
         fresh one (reference: Tracking::CreateMapInAtlas)."""
+        self._drain_kf_jobs()   # complete the map before stashing it
         hists = (np.asarray(self.loop_closer.db.hist)
                  if self.loop_closer is not None
                  else np.zeros((self.cfg.map.max_keyframes, 1), np.float32))
@@ -1218,6 +1384,7 @@ class StereoTracker:
         # its frames' relative poses to absolutes first
         self._freeze_trajectory()
         self.atlas.stash_active(self.state, self.n_kf, self.n_lm, hists)
+        self._kf_jobs.clear()    # pending stages reference dying slots
         self.state = ms.empty(self.cfg.map)
         self.n_kf = 0
         self.kf_order = []
@@ -1226,6 +1393,7 @@ class StereoTracker:
         self.vel = None
         self.prev_obs = None
         self.prev_octave = None
+        self.prev_angle = None
         self.frames_since_kf = 0
         self.ref_inliers = 1
         self.lost_frames = 0
@@ -1272,8 +1440,9 @@ class StereoTracker:
             self.state, jnp.int32(new_kf), jnp.asarray(neighbors), self.cam,
             lcfg)
         adj, fixed = self._ba_window(new_kf)
-        self.state = local_ba(self.state, adj, fixed, self.cam, self.bf,
-                              self.cfg)
+        self.state, n_tr = local_ba(self.state, adj, fixed, self.cam,
+                                    self.bf, self.cfg)
+        self.ba_truncated = self.ba_truncated + n_tr
         self._post_merge(new_kf, kf_off, n_cur, adj, fixed)
         self._refresh_ref_pose(new_kf)
         return new_kf

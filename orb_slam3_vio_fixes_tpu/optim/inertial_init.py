@@ -118,6 +118,17 @@ class InertialInitConfig(NamedTuple):
     # and velocities FIXED, only Rwg + s free)
     fix_bias: bool = False
     fix_vel: bool = False
+    # Visual-noise floor for the whitening (errors-in-variables guard).
+    # The preintegration covariance alone (sigma ~1e-3) lets VISUAL pose
+    # noise dominate the chi2 and — because the position/rotation errors
+    # enter the residual scaled by s — biases the scale estimate toward
+    # small s (measured: a 7x-understated mono map beat the true scale).
+    # sigma_vis_rot: keyframe relative-rotation noise (rad) added to the er
+    # rows; sigma_vis_pos: keyframe position noise in MAP units (the ep rows
+    # get s * sigma_vis_pos, tracking the estimate). 0 = exact reference
+    # weighting (EdgeInertialGS info, src/G2oTypes.h:548).
+    sigma_vis_rot: float = 0.0
+    sigma_vis_pos: float = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -170,11 +181,28 @@ def inertial_optimization(
         "pij,pj,pkj->pik", eigvec, jnp.sqrt(jnp.maximum(eigval, 0.0)), eigvec
     )
 
+    # diagonal preintegration variances (for the EIV-aware whitening mode)
+    diag_cov = jnp.diagonal(
+        jnp.linalg.inv(factors.info + 1e-12 * jnp.eye(9)[None]),
+        axis1=-2, axis2=-1)                                          # (P,9)
+
     def full_residual(x):
         res = jax.vmap(lambda k: residual_of_pair(x, k))(ks)        # (P,9)
-        res = jnp.einsum("pij,pj->pi", sqrt_info, res)
-        res = jnp.where(factors.valid[:, None], res, 0.0)
         v, bg, ba, theta, log_s = unpack(x)
+        if cfg.sigma_vis_rot > 0.0 or cfg.sigma_vis_pos > 0.0:
+            # componentwise whitening with the visual-noise floor: er rows
+            # carry 2*sigma_r^2; ep rows carry 2*(s*sigma_p)^2 (positions
+            # enter scaled by s, so the floor must track the estimate)
+            s = jnp.exp(log_s)
+            var = diag_cov + jnp.concatenate([
+                jnp.full(3, 2.0 * cfg.sigma_vis_rot ** 2),
+                jnp.zeros(3),
+                jnp.full(3, 2.0) * (s * cfg.sigma_vis_pos) ** 2,
+            ])[None, :]
+            res = res / jnp.sqrt(var)
+        else:
+            res = jnp.einsum("pij,pj->pi", sqrt_info, res)
+        res = jnp.where(factors.valid[:, None], res, 0.0)
         # bias priors (reference: EdgePriorGyro/Acc with priorG/priorA infos)
         r_bg = jnp.sqrt(cfg.prior_gyro) * bg
         r_ba = jnp.sqrt(cfg.prior_acc) * ba

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -51,15 +52,13 @@ class VIGBAConfig(NamedTuple):
 
 
 def _body_states(state: ms.MapState, R_cb, t_cb):
-    """kf T_cw -> body (R_wb, p_wb): T_wb = T_wc * T_cb^-1."""
-    # R_wc = kf_R^T, t_wc = -kf_R^T kf_t ; R_wb = R_wc R_cb ; p_wb = t_wc + R_wc t_bc
-    R_wc = jnp.swapaxes(state.kf_R, -1, -2)
-    t_wc = -jnp.einsum("kij,kj->ki", R_wc, state.kf_t)
-    R_bc = jnp.swapaxes(R_cb, -1, -2)       # R_bc = R_cb^T
-    t_bc = -R_bc @ t_cb
-    R_wb = jnp.einsum("kij,jl->kil", R_wc, R_cb.T)
-    p_wb = t_wc + jnp.einsum("kij,j->ki", R_wb, t_bc)
-    return R_wb, p_wb
+    """kf T_cw -> body (R_wb, p_wb) — exact inverse of _cam_states.
+
+    With x_c = R_cb x_b + t_cb (body->camera) and kf pose T_cw:
+    R_wb = R_wc R_cb, p_wb = t_wc + R_wc t_cb. Delegates to the shared
+    batched helper so the convention can't drift from the tracking path."""
+    from orb_slam3_vio_fixes_tpu.frontend.inertial_tracking import body_from_cam
+    return body_from_cam(state.kf_R, state.kf_t, R_cb, t_cb)
 
 
 def _cam_states(R_wb, p_wb, R_cb, t_cb):
@@ -183,46 +182,29 @@ def _imu_blocks(R_wb, p_wb, v, bg, ba, inertial: vi_ba.VIInertialFactors,
     return jax.vmap(one)(jnp.arange(ii.shape[0]))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_levels", "scale"),
-                   donate_argnums=(0,))
-def run_global_vi_ba(
-    state: ms.MapState,
-    inertial: vi_ba.VIInertialFactors,   # full-map chain (P slots)
-    inv_sigma2_oct: jax.Array,
-    cam: Camera,
-    bf,
-    calib: pre.ImuCalib,
-    pose_fixed_in: jax.Array,            # (K,) bool — gauge + window masks
-    cfg: VIGBAConfig = VIGBAConfig(),
-    n_levels: int = 8,
-    scale: float = 1.2,
-):
-    """Joint 15-DoF keyframe + landmark optimization over the whole map.
+def _vi_gba_solve(x, factors: vi_ba.VIReprojFactors,
+                  inertial: vi_ba.VIInertialFactors,
+                  pose_fixed, lm_fixed, bg_ref, ba_ref,
+                  cam, bf, R_cb, t_cb, cfg: VIGBAConfig, axis=None):
+    """The LM/CG solve loop shared by the single-device and the
+    landmark-sharded (shard_map) paths.
 
-    Returns (state', n_inlier_factors). The caller controls which keyframes
-    adjust via pose_fixed_in — all-free = FullInertialBA; welding-window-free
-    = MergeInertialBA (src/Optimizer.cc:3956)."""
-    K, N = state.kf_obs.shape
-    L = state.lm_pos.shape[0]
-    R_cb = calib.R_bc.T
-    t_cb = -calib.R_bc.T @ calib.t_bc
-
-    window = jnp.arange(K, dtype=jnp.int32)
-    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(
-        state, window, inv_sigma2_oct)
-    n_obs = ms.landmark_obs_count(state)
-    valid = valid & (n_obs[lm_idx] >= 2)
-    factors = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
-    pose_fixed = pose_fixed_in | ~state.kf_valid
-    lm_fixed = (n_obs < 2) | ~state.lm_valid
-
-    R_wb, p_wb = _body_states(state, R_cb, t_cb)
-    x = (R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba, state.lm_pos)
-    inlier = jnp.ones(pose_idx.shape[0], bool)
-    bg_ref = state.kf_bg
-    ba_ref = state.kf_ba
-    is_stereo_f = uvr[:, 2] >= 0.0
+    x = (R_wb (K), p_wb, v, bg, ba, lm (L or local shard)). With `axis` set
+    the factor/landmark arrays are this shard's block and every
+    keyframe-sized reduction crosses the mesh as a psum: the (K,6) Schur
+    partials per CG iteration, the (K,6,6)+(K,6) camera blocks and the chi2
+    scalar per LM iteration — bytes independent of L and F (the same
+    communication shape as parallel/sharded_ba). Returns (x', inlier)."""
+    K = x[0].shape[0]
+    L = x[5].shape[0]
+    pose_idx = factors.state_idx
+    lm_idx = factors.lm_idx
+    is_stereo_f = factors.uvr[:, 2] >= 0.0
     delta2_f = jnp.where(is_stereo_f, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = jnp.ones(pose_idx.shape[0], bool)
+
+    def ps(v):
+        return v if axis is None else jax.lax.psum(v, axis)
 
     def tree_where(c, a, b):
         return jax.tree_util.tree_map(
@@ -243,9 +225,11 @@ def run_global_vi_ba(
                 pose_fixed, lm_fixed, inlier, cfg)
             Hii, Hjj, Hij, bi, bj, chi2_imu = _imu_blocks(
                 R_wb, p_wb, v, bg, ba, inertial, pose_fixed, cfg)
-            chi2_x = jnp.sum(jnp.where(
+            Hpp6 = ps(Hpp6)
+            bp6 = ps(bp6)
+            chi2_x = ps(jnp.sum(jnp.where(
                 factors.valid & inlier,
-                jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0)) \
+                jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0))) \
                 + jnp.sum(jnp.minimum(chi2_imu, 4.0 * cfg.huber_inertial))
             good = chi2_x <= chi2_best
             x_best = tree_where(good, x, x_best)
@@ -282,7 +266,7 @@ def run_global_vi_ba(
                 y = jnp.zeros((L, 3)).at[lm_idx].add(u)
                 z = jnp.einsum("lij,lj->li", Hll_inv, y)
                 q = jnp.einsum("fij,fj->fi", Hpl_f, z[lm_idx])
-                return jnp.zeros((K, 6)).at[pose_idx].add(q)
+                return ps(jnp.zeros((K, 6)).at[pose_idx].add(q))
 
             def matvec(vv):
                 vv = jnp.where(free[:, None], vv, 0.0)
@@ -298,7 +282,8 @@ def run_global_vi_ba(
             # rhs = bp - [Hpl Hll^-1 bl; 0]
             z0 = jnp.einsum("lij,lj->li", Hll_inv, bl)
             q0 = jnp.einsum("fij,fj->fi", Hpl_f, z0[lm_idx])
-            rhs = bp.at[:, :6].add(-jnp.zeros((K, 6)).at[pose_idx].add(q0))
+            rhs = bp.at[:, :6].add(
+                -ps(jnp.zeros((K, 6)).at[pose_idx].add(q0)))
             rhs = jnp.where(free[:, None], rhs, 0.0)
 
             diag_ok = (jnp.abs(Hpp_d).sum((-1, -2)) > 1e-9) & free
@@ -360,9 +345,9 @@ def run_global_vi_ba(
             pose_fixed, lm_fixed, inlier, cfg)
         _, _, _, _, _, chi2_imu = _imu_blocks(
             R_wb, p_wb, v, bg, ba, inertial, pose_fixed, cfg)
-        chi2_last = jnp.sum(jnp.where(
+        chi2_last = ps(jnp.sum(jnp.where(
             factors.valid & inlier,
-            jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0)) \
+            jnp.minimum(chi2_f, 4.0 * delta2_f), 0.0))) \
             + jnp.sum(jnp.minimum(chi2_imu, 4.0 * cfg.huber_inertial))
         x = tree_where(chi2_last <= chi2_best, x_last, x_best)
         # chi2 gate for next round
@@ -375,6 +360,47 @@ def run_global_vi_ba(
 
     (x, inlier), _ = jax.lax.scan(
         lm_round, (x, inlier), None, length=cfg.n_rounds)
+    return x, inlier
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_levels", "scale"),
+                   donate_argnums=(0,))
+def run_global_vi_ba(
+    state: ms.MapState,
+    inertial: vi_ba.VIInertialFactors,   # full-map chain (P slots)
+    inv_sigma2_oct: jax.Array,
+    cam: Camera,
+    bf,
+    calib: pre.ImuCalib,
+    pose_fixed_in: jax.Array,            # (K,) bool — gauge + window masks
+    cfg: VIGBAConfig = VIGBAConfig(),
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Joint 15-DoF keyframe + landmark optimization over the whole map.
+
+    Returns (state', n_inlier_factors). The caller controls which keyframes
+    adjust via pose_fixed_in — all-free = FullInertialBA; welding-window-free
+    = MergeInertialBA (src/Optimizer.cc:3956)."""
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    R_cb = calib.R_bc.T
+    t_cb = -calib.R_bc.T @ calib.t_bc
+
+    window = jnp.arange(K, dtype=jnp.int32)
+    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(
+        state, window, inv_sigma2_oct)
+    n_obs = ms.landmark_obs_count(state)
+    valid = valid & (n_obs[lm_idx] >= 2)
+    factors = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    pose_fixed = pose_fixed_in | ~state.kf_valid
+    lm_fixed = (n_obs < 2) | ~state.lm_valid
+
+    R_wb, p_wb = _body_states(state, R_cb, t_cb)
+    x = (R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba, state.lm_pos)
+    x, inlier = _vi_gba_solve(
+        x, factors, inertial, pose_fixed, lm_fixed,
+        state.kf_bg, state.kf_ba, cam, bf, R_cb, t_cb, cfg)
     R_wb, p_wb, v, bg, ba, lm = x
     kf_R, kf_t = _cam_states(R_wb, p_wb, R_cb, t_cb)
     upd = state.kf_valid & ~pose_fixed
@@ -387,6 +413,153 @@ def run_global_vi_ba(
         lm_pos=jnp.where(lm_fixed[:, None], state.lm_pos, lm),
         epoch=state.epoch + 1,
     )
+    drop = (valid & ~inlier).reshape(K, N)
+    new_state = new_state._replace(
+        kf_obs=jnp.where(drop, -1, new_state.kf_obs))
+    new_state = ms.update_landmark_stats(new_state, n_levels, scale)
+    return new_state, jnp.sum((valid & inlier).astype(jnp.int32))
+
+
+def run_global_vi_ba_sharded(
+    state: ms.MapState,
+    inertial: vi_ba.VIInertialFactors,
+    inv_sigma2_oct: jax.Array,
+    cam: Camera,
+    bf,
+    calib: pre.ImuCalib,
+    pose_fixed_in,
+    mesh,                                # jax.sharding.Mesh with axis `axis`
+    cfg: VIGBAConfig = VIGBAConfig(),
+    n_levels: int = 8,
+    scale: float = 1.2,
+    axis: str = "lm",
+):
+    """Landmark-sharded FullInertialBA over a device mesh.
+
+    Same solve as run_global_vi_ba (the shared _vi_gba_solve), but landmark
+    blocks and their reprojection factors live on shards; the O(K) IMU chain
+    replicates (it is tiny); keyframe-sized reductions cross the mesh as
+    psums. This is the multi-chip GBA the inertial loop-closing path calls
+    when a mesh is available (the visual twin is
+    parallel/sharded_ba.distributed_global_ba).
+
+    Returns (state', n_inlier_factors)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    K, N = state.kf_obs.shape
+    L = state.lm_pos.shape[0]
+    n_dev = mesh.shape[axis]
+    R_cb = calib.R_bc.T
+    t_cb = -calib.R_bc.T @ calib.t_bc
+
+    window = jnp.arange(K, dtype=jnp.int32)
+    pose_idx, lm_idx, uvr, inv_s2, valid = ms.ba_factors_from_map(
+        state, window, inv_sigma2_oct)
+    n_obs = ms.landmark_obs_count(state)
+    valid = valid & (n_obs[lm_idx] >= 2)
+    pose_fixed = jnp.asarray(pose_fixed_in) | ~state.kf_valid
+    lm_fixed = (n_obs < 2) | ~state.lm_valid
+
+    # --- host-side partition: pad L to a multiple of shards; group factors
+    # by the shard owning their landmark (same layout as sharded_ba) ---
+    Lp = ((L + n_dev - 1) // n_dev) * n_dev
+    block = Lp // n_dev
+    pad_l = Lp - L
+
+    def pad_lm(a, fill=0):
+        a = np.asarray(a)
+        if not pad_l:
+            return a
+        padv = np.full((pad_l,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, padv])
+
+    lm_np = pad_lm(state.lm_pos)
+    lm_fixed_np = pad_lm(lm_fixed, fill=True)
+    lm_idx_np = np.asarray(lm_idx)
+    valid_np = np.asarray(valid)
+    shard_of = lm_idx_np // block
+    order = np.argsort(shard_of, kind="stable")
+    counts = np.bincount(shard_of[order], minlength=n_dev)
+    per = max(int(counts.max()) if counts.size else 1, 1)
+    F_new = per * n_dev
+    idx_out = np.zeros(F_new, np.int64)
+    valid_out = np.zeros(F_new, bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for s in range(n_dev):
+        sel = order[starts[s]: starts[s] + counts[s]]
+        idx_out[s * per: s * per + counts[s]] = sel
+        valid_out[s * per: s * per + counts[s]] = valid_np[sel]
+
+    f_pose = jnp.asarray(np.asarray(pose_idx)[idx_out])
+    f_lm = jnp.asarray(lm_idx_np[idx_out])
+    f_uvr = jnp.asarray(np.asarray(uvr)[idx_out])
+    f_is2 = jnp.asarray(np.asarray(inv_s2)[idx_out])
+    f_valid = jnp.asarray(valid_out)
+
+    R_wb, p_wb = _body_states(state, R_cb, t_cb)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _run(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
+             f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+             R_cb, t_cb, bg_ref, ba_ref):
+        def body(R_wb, p_wb, vel, bg, ba, lm_loc, lm_fixed_loc, pose_fixed,
+                 f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+                 R_cb, t_cb, bg_ref, ba_ref):
+            shard = jax.lax.axis_index(axis)
+            factors = vi_ba.VIReprojFactors(
+                f_pose, f_lm - shard * block, f_uvr, f_is2, f_valid)
+            x0 = (R_wb, p_wb, vel, bg, ba, lm_loc)
+            x, inlier = _vi_gba_solve(
+                x0, factors, inertial, pose_fixed, lm_fixed_loc,
+                bg_ref, ba_ref, cam, bf, R_cb, t_cb, cfg, axis=axis)
+            n_inl = jax.lax.psum(
+                jnp.sum((f_valid & inlier).astype(jnp.int32)), axis)
+            return x[0], x[1], x[2], x[3], x[4], x[5], inlier, n_inl
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(), P(),           # body states (replicated)
+                P(axis), P(axis),                  # lm block, lm_fixed block
+                P(),                               # pose_fixed
+                P(axis), P(axis), P(axis), P(axis), P(axis),  # factors
+                P(), P(), P(), P(), P(), P(), P(),  # inertial/cam/bf/ext/refs
+            ),
+            out_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P()),
+            check_vma=False,
+        )(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
+          f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+          R_cb, t_cb, bg_ref, ba_ref)
+
+    R_wb2, p_wb2, v2, bg2, ba2, lm2, _, n_inl = _run(
+        R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba,
+        jnp.asarray(lm_np), jnp.asarray(lm_fixed_np), pose_fixed,
+        f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+        R_cb, t_cb, state.kf_bg, state.kf_ba)
+
+    kf_R, kf_t = _cam_states(R_wb2, p_wb2, R_cb, t_cb)
+    upd = state.kf_valid & ~pose_fixed
+    new_state = state._replace(
+        kf_R=jnp.where(upd[:, None, None], kf_R, state.kf_R),
+        kf_t=jnp.where(upd[:, None], kf_t, state.kf_t),
+        kf_vel=jnp.where(upd[:, None], v2, state.kf_vel),
+        kf_bg=jnp.where(upd[:, None], bg2, state.kf_bg),
+        kf_ba=jnp.where(upd[:, None], ba2, state.kf_ba),
+        lm_pos=jnp.where(lm_fixed[:, None], state.lm_pos, lm2[:L]),
+        epoch=state.epoch + 1,
+    )
+    # outlier unbinding in the ORIGINAL (K, N) factor order: re-evaluate the
+    # reprojection chi2 on the corrected state (the partitioned order is a
+    # permutation — same approach as sharded_ba.distributed_global_ba)
+    R_wb3, p_wb3 = _body_states(new_state, R_cb, t_cb)
+    factors_orig = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    _, _, _, _, _, chi2 = _reproj_blocks(
+        R_wb3, p_wb3, new_state.lm_pos, factors_orig, cam, bf, R_cb, t_cb,
+        pose_fixed, lm_fixed, jnp.ones(valid.shape[0], bool), cfg)
+    is_stereo_f = uvr[:, 2] >= 0.0
+    delta2_f = jnp.where(is_stereo_f, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = chi2 <= delta2_f
     drop = (valid & ~inlier).reshape(K, N)
     new_state = new_state._replace(
         kf_obs=jnp.where(drop, -1, new_state.kf_obs))

@@ -46,13 +46,15 @@ class SLAMSystem:
     ----------
     settings : Settings | str — parsed settings or a YAML path (v1.0 schema).
     sensor : Sensor
-    vocab : vocabulary.Vocabulary | None — BoW vocabulary; place recognition
-        (loop closing / relocalization / map merging) is disabled without it,
-        mirroring how the reference requires ORBvoc.txt for those subsystems.
+    vocab : vocabulary.Vocabulary | "default" | None — BoW vocabulary.
+        "default" (the default) loads the checked-in 10^4-word artifact
+        (assets/vocab_b10d4.npz — the framework's ORBvoc.txt analogue,
+        reference include/ORBVocabulary.h:29-30). Pass None to disable place
+        recognition (loop closing / relocalization / map merging) entirely.
     map_cfg : map_state.MapConfig | None — capacity override.
     """
 
-    def __init__(self, settings, sensor: Sensor, vocab=None,
+    def __init__(self, settings, sensor: Sensor, vocab="default",
                  map_cfg: Optional[ms.MapConfig] = None,
                  tracker_cfg: Optional[trk.TrackerConfig] = None,
                  mesh=None):
@@ -60,6 +62,10 @@ class SLAMSystem:
             settings = load_settings(settings, sensor)
         self.settings: Settings = settings
         self.sensor = sensor
+        if isinstance(vocab, str):
+            if vocab != "default":
+                raise ValueError(f"unknown vocabulary spec {vocab!r}")
+            vocab = voc.default_vocabulary()
         self.vocab = vocab
 
         # distorted rigs: precompute remaps and rewrite cam1/bf BEFORE the
@@ -243,6 +249,7 @@ class SLAMSystem:
 
     def reset_active_map(self):
         tr = self.tracker
+        tr._kf_jobs.clear()      # pending stages reference dying slots
         tr._freeze_trajectory()  # keyframe slots are going away
         # read the map tier from the TRACKER's config — capacity growth
         # updates tracker.cfg (and the BoW db) but not the facade's cfg; a
@@ -255,6 +262,7 @@ class SLAMSystem:
         tr.vel = None
         tr.prev_obs = None
         tr.prev_octave = None
+        tr.prev_angle = None
         tr.frames_since_kf = 0
         tr.lost_frames = 0
         if hasattr(tr, "ref_frame"):

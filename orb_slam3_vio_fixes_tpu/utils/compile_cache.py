@@ -12,6 +12,24 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this machine's CPU flags (/proc/cpuinfo)."""
+    import hashlib
+    import platform as _plat
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_plat.machine()}|{flags}".encode()
+    return hashlib.sha1(raw).hexdigest()[:12]
+
+
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
@@ -32,6 +50,15 @@ def enable(cache_dir: str | None = None) -> None:
             platform = jax.default_backend()
         except Exception:
             platform = "unknown"
+        # ... and additionally key CPU caches by the HOST feature set: the
+        # repo (and its cache dir) migrates between machines with different
+        # CPU features (AMX/AVX512 vs not); XLA:CPU AOT blobs compiled on a
+        # richer machine fail to load ("Compile machine features ... vs host
+        # machine features ... could lead to execution errors such as
+        # SIGILL") or could silently mis-execute. A flags fingerprint makes
+        # a wrong-machine cache hit impossible.
+        if platform == "cpu":
+            platform = f"cpu-{_host_fingerprint()}"
         cache_dir = os.path.join(base, platform)
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -32,7 +32,7 @@ frame = frame_mod.build_stereo_frame(
     jnp.float32(seq.ts[1]), cam, tr.bf, cfg.orb,
 )
 cur_obs, n_m = tracking.match_previous(
-    tr.state, tr.prev_obs, tr.prev_octave, tr.R, tr.t, frame, cam, tr.bf,
+    tr.state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t, frame, cam, tr.bf,
     jnp.float32(7.0), cfg)
 print("matches:", int(n_m))
 

@@ -43,13 +43,13 @@ def kf_errs(state, n_kf):
 def wrapped(state, adj, fixed, cam_, bf_, cfg_):
     pre_lm = np.asarray(state.lm_pos)
     pre = kf_errs(state, tr.n_kf)
-    out = orig_local_ba(state, adj, fixed, cam_, bf_, cfg_)
+    out, n_tr = orig_local_ba(state, adj, fixed, cam_, bf_, cfg_)
     post = kf_errs(out, tr.n_kf)
     dlm = np.linalg.norm(np.asarray(out.lm_pos) - pre_lm, axis=-1)
     lmv = np.asarray(out.lm_valid)
     print(f"  [localBA] kf errs pre {np.round(pre,4)} -> post {np.round(post,4)}  "
           f"|dlm| med {np.median(dlm[lmv]):.4f} max {dlm[lmv].max():.4f}")
-    return out
+    return out, n_tr
 
 
 tracking.local_ba = wrapped

@@ -36,7 +36,7 @@ fr = frame_mod.build_stereo_frame(
     jnp.float32(seq.ts[1]), cam, tr.bf, cfg.orb,
 )
 cur_obs, n_m = tracking.match_previous(
-    state, tr.prev_obs, tr.prev_octave, tr.R, tr.t, fr, cam, tr.bf,
+    state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t, fr, cam, tr.bf,
     jnp.float32(7.0), cfg,
 )
 print("matches:", int(n_m))

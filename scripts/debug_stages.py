@@ -59,7 +59,7 @@ for i in range(1, N_FRAMES):
         R_pred, t_pred = tr.R, tr.t
     e0 = err(R_pred, t_pred, i)
     cur_obs, n_m = tracking.match_previous(
-        tr.state, tr.prev_obs, tr.prev_octave, R_pred, t_pred, frame, cam, tr.bf,
+        tr.state, tr.prev_obs, tr.prev_octave, tr.prev_angle, R_pred, t_pred, frame, cam, tr.bf,
         jnp.float32(7.0), cfg)
     R1, t1, cur_obs1, n1 = tracking.pose_opt_from_obs(
         tr.state, R_pred, t_pred, frame, cur_obs, cam, tr.bf, cfg)

@@ -38,8 +38,13 @@ def test_mono_inertial_metric_scale(seq):
         max_local_lm=1024, ba_window=6, ba_fixed=2, new_lm_budget=256,
         max_frames_between_kf=6,
     )
+    # init window 1.2 s / 8 KFs: mono-inertial scale is only OBSERVABLE with
+    # enough accumulated excitation — the reference initializes mono-IMU
+    # over ~2 s minimum (src/LocalMapping.cc:1178-1211); the round-3 value
+    # (0.7 s / 5 KFs) sat below identifiability and passed only by luck of
+    # the noise realization
     icfg = it.InertialConfig(
-        frame_samples=16, kf_samples=256, init_min_kfs=5, init_min_time=0.7,
+        frame_samples=16, kf_samples=256, init_min_kfs=8, init_min_time=1.2,
         vi_window=6, max_local_lm=1024, fix_scale=False,
     )
     calib = pre.ImuCalib.make(1.7e-4, 2e-3, 1.9e-5, 3e-3, seq.imu_hz)

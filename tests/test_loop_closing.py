@@ -26,8 +26,7 @@ DRIFT_T = np.array([0.25, 0.1, 0.0], np.float32)
 DRIFT_RVEC = np.array([0.0, 0.03, 0.0], np.float32)
 
 
-@pytest.fixture(scope="module")
-def scenario():
+def _make_scenario(drift_t=DRIFT_T, drift_rvec=DRIFT_RVEC):
     rng = np.random.default_rng(11)
     X = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
                   rng.uniform(4.0, 8.0, M)], 1).astype(np.float32)
@@ -48,13 +47,12 @@ def scenario():
     t_gt = np.einsum("kij,kj->ki", R_gt, -centers)
 
     # drifted estimates: drift ramps up linearly along the trajectory
-    dR_full = np.asarray(lie.so3_exp(jnp.asarray(DRIFT_RVEC)))
     R_est = R_gt.copy()
     t_est = t_gt.copy()
     for k in range(N_KF):
         a = k / (N_KF - 1)
-        dRk = np.asarray(lie.so3_exp(jnp.asarray(DRIFT_RVEC * a)))
-        Ck = centers[k] + a * DRIFT_T
+        dRk = np.asarray(lie.so3_exp(jnp.asarray(drift_rvec * a)))
+        Ck = centers[k] + a * drift_t
         R_est[k] = (R_gt[k] @ dRk.T).astype(np.float32)
         t_est[k] = -R_est[k] @ Ck
 
@@ -112,7 +110,13 @@ def scenario():
         jnp.ones(M, bool),
     )
     return dict(state=state, vocab=vocab, R_gt=R_gt, t_gt=t_gt,
-                centers=centers, X=X, kf_last=kf_last)
+                centers=centers, X=X, kf_last=kf_last,
+                R_est=R_est, t_est=t_est)
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return _make_scenario()
 
 
 def _closer(sc, **kw):
@@ -209,3 +213,46 @@ def test_refinement_rejects_geometric_mismatch(scenario):
     state2, result = closer.on_keyframe(state_bad, kf_last, N_KF)
     assert result is None or not result.corrected
     assert closer.n_corrections == 0
+
+
+def test_loop_closes_with_drift_beyond_guided_radius():
+    """Appearance-only fallback (reference: the drift-independent
+    SearchByBoW path, src/LoopClosing.cc:578-896): when accumulated odometry
+    drift projects the candidate's landmarks further than guided_radius from
+    their true image locations, prior-guided matching alone CANNOT produce
+    Sim3 pairs — the loop must still verify and correct via the appearance
+    matches (round-3 advisor MEDIUM / verdict item 7)."""
+    big_t = np.array([4.0, 1.5, 0.0], np.float32)
+    big_r = np.array([0.0, 0.35, 0.0], np.float32)
+    sc = _make_scenario(drift_t=big_t, drift_rvec=big_r)
+    state = sc["state"]
+    kf_last = sc["kf_last"]
+    # prove the guided path is starved: project the candidate-side landmarks
+    # through the DRIFTED relative pose and measure the pixel displacement
+    # from the revisit keyframe's observed keypoints
+    X = sc["X"]
+    Xc_pred = X @ sc["R_est"][kf_last].T + sc["t_est"][kf_last]
+    uv_pred = np.asarray(project(CAM, jnp.asarray(Xc_pred)))
+    uv_obs = np.asarray(state.kf_uv[kf_last][:M])
+    gap = np.linalg.norm(uv_pred - uv_obs, axis=-1)
+    default_radius = lc.LoopConfig().guided_radius
+    assert np.median(gap) > 2 * default_radius, (
+        f"scenario too gentle: median proj gap {np.median(gap):.1f} px")
+    n_m, n_ransac, n_proj, sim = lc.verify_candidate(
+        jax.random.PRNGKey(0), state, jnp.int32(kf_last), jnp.int32(0),
+        CAM, jnp.ones(4), 256, True, n_levels=4,
+    )
+    assert int(n_m) >= 40, int(n_m)
+    assert int(n_ransac) >= 40
+    assert int(n_proj) >= 40
+    # and the full pipeline corrects
+    closer = _closer(sc)
+    for k in range(N_KF - 1):
+        closer.add_keyframe(state, k)
+    state2, result = closer.on_keyframe(state, kf_last, N_KF)
+    assert result is not None and result.corrected
+    C_after = -np.asarray(state2.kf_R[kf_last]).T @ \
+        np.asarray(state2.kf_t[kf_last])
+    err_before = np.linalg.norm(big_t)
+    err_after = np.linalg.norm(C_after - sc["centers"][kf_last])
+    assert err_after < 0.25 * err_before, (err_before, err_after)

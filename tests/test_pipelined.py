@@ -63,6 +63,35 @@ def test_pipelined_matches_sync(seq):
         np.testing.assert_allclose(t_p, t_s, atol=1e-6)
 
 
+def test_async_kf_matches_sync_quality(seq):
+    """Async keyframe stages (mapping/loop work as bounded per-frame jobs —
+    the reference's LocalMapping-thread analogue) land the SAME stages in
+    the same per-keyframe order, only spread over later frame gaps, so map
+    size and trajectory must agree with sync mode to sub-centimeter level
+    (bit-identity is not expected: BA results land a few frames later, so
+    frames in between track against a slightly earlier map epoch)."""
+    tr_sync = _run(seq, pipelined=False)
+    cfg = _cfg(seq)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr_async = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg)
+    tr_async.pipelined = True
+    tr_async.async_kf = True
+    for i in range(seq.imgs_l.shape[0]):
+        tr_async.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+    tr_async.flush()
+    assert tr_async.track_state == tr_sync.track_state
+    assert tr_async.kf_order == tr_sync.kf_order
+    # same stages ran: landmark counts within a few triangulations
+    assert abs(tr_async.n_lm - tr_sync.n_lm) <= 0.1 * tr_sync.n_lm
+    traj_s = tr_sync.trajectory
+    traj_a = tr_async.trajectory
+    assert len(traj_a) == len(traj_s) == seq.imgs_l.shape[0]
+    errs = [np.linalg.norm((-R_a.T @ t_a) - (-R_s.T @ t_s))
+            for (_, R_s, t_s), (_, R_a, t_a) in zip(traj_s, traj_a)]
+    assert np.median(errs) < 0.01, f"async trajectory diverged: {max(errs)}"
+    assert max(errs) < 0.05, f"async trajectory diverged: {max(errs)}"
+
+
 def test_pipelined_return_lags_one_frame(seq):
     """The per-call return value in pipelined mode is the PREVIOUS frame's
     finalized pose (documented one-frame latency)."""

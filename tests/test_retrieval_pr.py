@@ -4,8 +4,9 @@ The round-2 verdict flagged that retrieval precision was untested at
 capacity: a K=256 database of BoW histograms from distinct viewpoints around
 a loop world, queried with re-rendered (noisy) views — the grouped top-3 must
 contain a keyframe near the query pose (recall), and far-away keyframes must
-not dominate (precision). Uses the checked-in 10^4-word default vocabulary
-when present, else trains a small one."""
+not dominate (precision). Runs against the CHECKED-IN 10^4-word default
+vocabulary artifact (assets/vocab_b10d4.npz) — the test FAILS if the
+artifact is missing, so it cannot silently validate a different vocab."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -22,10 +23,8 @@ K_DB = 256
 
 
 def _vocab(pool):
-    try:
-        return voc.default_vocabulary()
-    except Exception:
-        return voc.train(pool, branching=10, depth=3, seed=0)
+    del pool  # the artifact is mandatory — no ad-hoc retraining fallback
+    return voc.default_vocabulary()
 
 
 @pytest.mark.slow

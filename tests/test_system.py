@@ -87,7 +87,10 @@ def test_sensor_dispatch_guard(settings_path):
 
 
 def test_system_stereo_and_snapshot(settings_path, seq, tmp_path):
-    slam = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO,
+    # vocab=None: this test attaches its own tiny vocabulary mid-run to
+    # exercise the snapshot checksum; the default 10^4-word artifact would
+    # leave a mismatched histogram database behind
+    slam = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO, vocab=None,
                            map_cfg=small_map(),
                            tracker_cfg=small_tracker_cfg())
     for i in range(12):
@@ -136,7 +139,7 @@ def test_vocab_checksum_mismatch(settings_path, seq, tmp_path):
     # TrackerConfig here would compile its own kernel variants (the YAML-
     # derived config path is covered by test_settings_parse /
     # test_sensor_dispatch_guard, which never run the tracker)
-    slam = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO,
+    slam = sysm.SLAMSystem(settings_path, sysm.Sensor.STEREO, vocab=None,
                            map_cfg=small_map(),
                            tracker_cfg=small_tracker_cfg())
     for i in range(6):
