@@ -644,6 +644,7 @@ class StereoInertialTracker(trk.StereoTracker):
         self.state = ms.empty(self.cfg.map)
         self.n_kf = 0
         self.kf_order = []
+        self._free_kf_slots = []
         self.n_lm = 0
         self.track_state = trk.TrackState.NOT_INITIALIZED
         self.vel = None
@@ -664,11 +665,15 @@ class StereoInertialTracker(trk.StereoTracker):
         self._reset_inertial_state()
 
     def _insert_keyframe_inertial(self, frame, R, t, cur_obs, ts):
-        kf_id = self.n_kf
+        # the allocator may hand out a REUSED slot, not self.n_kf — peek it
+        # so the IMU window lands on the same slot the keyframe gets
+        self._drain_kf_jobs()
+        kf_id = self._peek_kf_slot()
         window = self._pad_kf_imu(self.kf_imu_buf)
         self.kf_windows[kf_id] = window
         self.kf_imu_buf = []
-        self._insert_keyframe(frame, R, t, cur_obs)   # visual stages + BA
+        got = self._insert_keyframe(frame, R, t, cur_obs)  # visual stages + BA
+        assert got == kf_id, (got, kf_id)
         # stamp the inertial state onto the keyframe slot
         st = self.state
         self.state = st._replace(

@@ -292,16 +292,28 @@ def fuse_duplicates(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def cull_landmarks(state: ms.MapState, n_kf, cfg: LocalMapConfig):
+def cull_landmarks(state: ms.MapState, n_kf, cfg: LocalMapConfig,
+                   recent_slots=None):
     """Remove weak landmarks (reference: LocalMapping::MapPointCulling
     src/LocalMapping.cc:346-385 — found/visible ratio < 0.25, or still
     under-observed `cull_grace_kfs` keyframes after creation).
 
     Here: a landmark created more than `cull_grace_kfs` keyframes ago must be
-    observed by >= cull_min_obs keyframes.
+    observed by >= cull_min_obs keyframes. With keyframe-slot reuse the slot
+    id no longer encodes age, so pass `recent_slots` — the last
+    cull_grace_kfs keyframe SLOTS (temporal order) — and a landmark is young
+    iff its anchor keyframe is among them; without it, the contiguous-id
+    rule applies.
     """
     n_obs = ms.landmark_obs_count(state)
-    old_enough = state.lm_first_kf <= (n_kf - 1 - cfg.cull_grace_kfs)
+    if recent_slots is None:
+        old_enough = state.lm_first_kf <= (n_kf - 1 - cfg.cull_grace_kfs)
+    else:
+        K = state.kf_R.shape[0]
+        young_kf = jnp.zeros(K, bool).at[
+            jnp.clip(recent_slots, 0, K - 1)].max(recent_slots >= 0)
+        old_enough = ~young_kf[
+            jnp.clip(state.lm_first_kf, 0, K - 1)] & (state.lm_first_kf >= 0)
     weak = state.lm_valid & old_enough & (n_obs < cfg.cull_min_obs)
     ratio = state.lm_found / jnp.maximum(state.lm_visible, 1.0)
     weak |= state.lm_valid & (state.lm_visible > 8.0) & (ratio < 0.25)

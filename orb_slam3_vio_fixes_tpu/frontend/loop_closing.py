@@ -231,17 +231,23 @@ def verify_candidate(
 def detect_candidates(
     db: voc.KeyFrameDatabase,
     state: ms.MapState,
-    hist, kf_id, min_gap, min_score,
+    hist, kf_id, recent_slots, min_score,
     n_best: int,
 ):
     """Device-side candidate retrieval: covisibility-group accumulated BoW
     scores with covisible/recency/invalid exclusion — ONE program, one small
     host pull (reference: DetectNBestCandidates src/KeyFrameDatabase.cc:
-    604-720; exclusion of the query's covisibles at :620-641)."""
+    604-720; exclusion of the query's covisibles at :620-641).
+
+    recent_slots: (min_gap,) int32 slot ids of the most recent keyframes
+    (-1 pad) to exclude — an explicit list because slot ids stop encoding
+    recency once culled slots are reused."""
     cov = ms.covisibility(state)
     K = cov.shape[0]
-    ids = jnp.arange(K, dtype=jnp.int32)
-    exclude = (cov[kf_id] > 0) | (ids > kf_id - min_gap) | ~state.kf_valid
+    recent_mask = jnp.zeros(K, bool).at[
+        jnp.clip(recent_slots, 0, K - 1)].max(recent_slots >= 0)
+    exclude = (cov[kf_id] > 0) | recent_mask | ~state.kf_valid
+    exclude = exclude.at[kf_id].set(True)
     cand_ids, scores = voc.db_query_grouped(
         db, hist, cov.astype(jnp.float32), exclude, min_score, n_best=n_best)
     return cand_ids, scores
@@ -383,20 +389,30 @@ class LoopCloser:
         self.db = voc.db_add(self.db, jnp.int32(kf_id), hist)
         return hist
 
-    def detect(self, state: ms.MapState, kf_id: int, hist):
+    def detect(self, state: ms.MapState, kf_id: int, hist,
+               recent_slots=None):
         """BoW retrieval — one device program, one small pull (reference:
         DetectNBestCandidates with covisibility-group score accumulation,
-        src/KeyFrameDatabase.cc:604-720)."""
+        src/KeyFrameDatabase.cc:604-720).
+
+        recent_slots: the min_gap most recent keyframe SLOTS (host list) —
+        pass it when culled slots are reused (slot id != recency); default
+        falls back to the contiguous-id rule."""
         cfg = self.cfg
+        if recent_slots is None:
+            recent_slots = [kf_id - i for i in range(cfg.min_gap_kfs)]
+        rs = np.full(cfg.min_gap_kfs, -1, np.int32)
+        for i, s in enumerate(recent_slots[-cfg.min_gap_kfs:]):
+            rs[i] = s
         cand_ids, _ = detect_candidates(
             self.db, state, hist, jnp.int32(kf_id),
-            jnp.int32(cfg.min_gap_kfs), jnp.float32(cfg.min_score),
+            jnp.asarray(rs), jnp.float32(cfg.min_score),
             cfg.n_candidates,
         )
         return [int(i) for i in np.asarray(cand_ids) if i >= 0]
 
     def on_keyframe(self, state: ms.MapState, kf_id: int, n_kf: int,
-                    fixed_extra: Optional[int] = None):
+                    fixed_extra: Optional[int] = None, recent_slots=None):
         """Full loop pipeline for one new keyframe. Returns (state, result).
 
         A correction only fires after the SAME map region has been detected
@@ -406,7 +422,7 @@ class LoopCloser:
         rewrite the map."""
         cfg = self.cfg
         hist = self.add_keyframe(state, kf_id)
-        cands = self.detect(state, kf_id, hist)
+        cands = self.detect(state, kf_id, hist, recent_slots=recent_slots)
         hit = None
         for cand in cands:
             self.key, sub = jax.random.split(self.key)

@@ -604,7 +604,13 @@ class StereoTracker:
         # valid BA factors dropped by the ba_factor_budget compaction —
         # accumulated lazily on device; pull with int(self.ba_truncated)
         self.ba_truncated = jnp.int32(0)
-        self.n_kf = 0   # slot allocation cursor (monotonic per map)
+        self.n_kf = 0   # slot allocation cursor (high-water mark per map)
+        # culled/excised keyframe slots available for reuse — without this
+        # the cursor is monotonic and long sequences double capacity tiers
+        # even when culling bounds the live count (reference frees objects
+        # on SetBadFlag, src/KeyFrame.cc:573-679)
+        self._free_kf_slots = []
+        self._kf_created_reused = 0   # keyframes that landed in a reused slot
         self.n_lm = 0
         self.kf_order = []  # temporal order of LIVE keyframe slots
         self.R = jnp.eye(3)
@@ -1142,6 +1148,9 @@ class StereoTracker:
         self.state = ms.excise_keyframes(self.state, jnp.asarray(pad))
         culled_set = set(cull)
         self.kf_order = [k for k in self.kf_order if k not in culled_set]
+        # excised slots go back to the allocator (insert_keyframe overwrites
+        # every per-slot field, so reuse is safe)
+        self._free_kf_slots.extend(sorted(culled_set))
 
     def _can_cull(self) -> bool:
         """Subclass gate: inertial trackers defer culling until IMU init."""
@@ -1188,7 +1197,10 @@ class StereoTracker:
         # reference's InterruptBA analogue below drops superseded BA instead)
         self._drain_kf_jobs()
         self._maybe_grow()
-        kf_id = self.n_kf
+        kf_id = self._peek_kf_slot()
+        if self._free_kf_slots and kf_id == self._free_kf_slots[0]:
+            self._free_kf_slots.pop(0)
+            self._kf_created_reused += 1
         prev_kf = self.kf_order[-1] if self.kf_order else -1
         # landmark counter flows as a DEVICE scalar through the mapping
         # stages (create -> triangulate); one host pull at the end instead of
@@ -1201,7 +1213,8 @@ class StereoTracker:
         self._kf_nlm_dev = n_lm_dev + n_created
         if prof:
             t0 = self._mark("kf.1_create", t0, n_created)
-        self.n_kf += 1
+        if kf_id == self.n_kf:
+            self.n_kf += 1          # fresh slot moved the high-water mark
         self.kf_order.append(kf_id)
         self.frames_since_kf = 0
         if self.async_kf:
@@ -1213,11 +1226,18 @@ class StereoTracker:
                     functools.partial(self._kf_stage_ba, kf_id))
             self._kf_jobs.append(lambda: self._kf_stage_cull(kf_id))
             self._kf_jobs.append(lambda: self._kf_stage_finalize(kf_id))
-            return
+            return kf_id
         self._kf_stage_map(kf_id, prof=prof)
         self._kf_stage_ba(kf_id, n_rounds=self.cfg.ba_rounds, prof=prof)
         self._kf_stage_cull(kf_id, prof=prof)
         self._kf_stage_finalize(kf_id, prof=prof)
+        return kf_id
+
+    def _peek_kf_slot(self) -> int:
+        """Slot the NEXT _insert_keyframe call will use (free-list head or
+        the high-water cursor). Subclasses that stamp per-keyframe side
+        state (IMU windows) call this before inserting."""
+        return self._free_kf_slots[0] if self._free_kf_slots else self.n_kf
 
     def _run_kf_job(self):
         """Execute ONE pending keyframe-stage job (called once per frame)."""
@@ -1273,8 +1293,13 @@ class StereoTracker:
         # landmark-block program (reference culls per mapping iteration but
         # on a per-point recent list, src/LocalMapping.cc:346-385)
         if kf_id % 2 == 0:
+            g = lcfg.cull_grace_kfs
+            recent = np.full(g, -1, np.int32)
+            for i, k in enumerate(self.kf_order[-g:]):
+                recent[i] = k
             self.state = lm_mod.cull_landmarks(
-                self.state, jnp.int32(self.n_kf), lcfg)
+                self.state, jnp.int32(self.n_kf), lcfg,
+                recent_slots=jnp.asarray(recent))
         if prof:
             t0 = self._mark("kf.6_cull_lm", t0, self.state.lm_valid)
         if (self.cfg.enable_kf_culling and self._can_cull()
@@ -1290,8 +1315,10 @@ class StereoTracker:
         prof_t = time.perf_counter() if prof else 0.0
         if self.loop_closer is not None and self._loop_enabled():
             t0 = time.perf_counter() if prof else 0.0
+            mg = self.loop_closer.cfg.min_gap_kfs
             self.state, loop_res = self.loop_closer.on_keyframe(
-                self.state, kf_id, self.n_kf)
+                self.state, kf_id, self.n_kf,
+                recent_slots=self.kf_order[-mg:])
             if prof:
                 self._mark("kf.8_loop", t0, self.state.kf_R)
             if loop_res is not None and loop_res.corrected:
@@ -1388,6 +1415,7 @@ class StereoTracker:
         self.state = ms.empty(self.cfg.map)
         self.n_kf = 0
         self.kf_order = []
+        self._free_kf_slots = []
         self.n_lm = 0
         self.track_state = TrackState.NOT_INITIALIZED
         self.vel = None

@@ -217,6 +217,54 @@ def make_gt_stereo_sequence(
     return render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)
 
 
+def make_gt_stereo_inertial_sequence(
+    rng, gt_path: str, n_frames=120, h=240, w=352, fx=260.0, baseline=0.2,
+    n_points=2400, depth_range=(2.5, 10.0), imu_hz=200.0,
+) -> "StereoInertialSequence":
+    """Stereo frames + SYNTHESIZED IMU along a REAL EuRoC ground-truth
+    trajectory (reference GT at evaluation/Ground_truth/EuRoC_left_cam,
+    20 Hz): a cubic spline through the GT positions gives analytic world
+    acceleration; body rates come from finite rotation differences. Gravity
+    is taken as (0,0,-9.81) in the GT world and the synthesized specific
+    force is self-consistent with it, so the VI pipeline's gravity/scale
+    estimation is exercised exactly as on real data. Body == camera.
+
+    Drop the `imu` field / use imgs_l only for the mono-inertial GT gate."""
+    from scipy.interpolate import CubicSpline
+
+    ts, R_wc, t_wc = load_gt_trajectory(gt_path, n_frames=n_frames, stride=1)
+    G = np.array([0.0, 0.0, -9.81], np.float32)
+    cs = CubicSpline(ts, t_wc, axis=0)
+    vel = cs(ts, 1).astype(np.float32)
+    spf = int(round((ts[1] - ts[0]) * imu_hz))
+    dts = 1.0 / imu_hz
+    imu = np.zeros((n_frames - 1, spf, 7), np.float32)
+    h_rot = 1e-3
+    for i in range(n_frames - 1):
+        for k in range(spf):
+            t = ts[i] + k * dts
+            a_w = cs(t, 2)
+            # rotation at t: slerp between neighboring GT samples
+            j = min(int((t - ts[0]) / (ts[1] - ts[0])), n_frames - 2)
+            alpha = (t - ts[j]) / (ts[j + 1] - ts[j])
+            dR = R_wc[j].T @ R_wc[j + 1]
+            w_vec = np.asarray(lie.so3_log(jnp.asarray(dR.astype(np.float32))))
+            R_t = R_wc[j] @ np.asarray(lie.so3_exp(
+                jnp.asarray((alpha * w_vec).astype(np.float32))))
+            omega_b = w_vec / (ts[j + 1] - ts[j])   # body rates (constant
+            # over the GT interval under the slerp model)
+            a_b = R_t.T @ (a_w - G)
+            imu[i, k] = np.concatenate(
+                [a_b.astype(np.float32), omega_b.astype(np.float32), [dts]])
+    world = make_world_along_trajectory(
+        rng, R_wc, t_wc, n_points=n_points, depth_range=depth_range)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    s = render_stereo_along(world, K, R_wc, t_wc, ts, h, w, baseline)
+    return StereoInertialSequence(
+        s.imgs_l, s.imgs_r, s.ts, s.R_wc, s.t_wc, s.K, baseline,
+        imu, imu_hz, vel)
+
+
 def loop_trajectory(n_frames, dt=0.05, radius=3.0, look="outward",
                     n_loop=None):
     """Closed circular trajectory returning to the start pose — the revisit

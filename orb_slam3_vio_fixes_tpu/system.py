@@ -258,6 +258,7 @@ class SLAMSystem:
         tr.n_kf = 0
         tr.n_lm = 0
         tr.kf_order = []
+        tr._free_kf_slots = []
         tr.track_state = trk.TrackState.NOT_INITIALIZED
         tr.vel = None
         tr.prev_obs = None

@@ -107,6 +107,8 @@ def main():
             "metric": "distributed_gba_solve_s", "devices": n,
             "value": round(times[n], 4), "unit": "s"}), flush=True)
     base = times[counts[0]]
+    cores = os.cpu_count() or 1
+    best = max(base / times[n] for n in counts)
     summary = {
         "metric": "gba_scaling_efficiency",
         "devices": counts[-1],
@@ -114,6 +116,13 @@ def main():
         "unit": "fraction",
         "n_devices_visible": jax.device_count(),
         "platform": jax.devices()[0].platform,
+        "host_physical_cores": cores,
+        # A virtual CPU mesh cannot speed up past the PHYSICAL core count —
+        # n_dev virtual devices share the same silicon, so the achievable
+        # ceiling is min(n, cores), not n. This ratio is the honest figure
+        # for the formulation's overhead (communication + imbalance); the
+        # per-device-count efficiency is structurally capped at cores/n.
+        "speedup_vs_core_ceiling": round(best / min(counts[-1], cores), 3),
         "speedups": {str(n): round(base / times[n], 3) for n in counts},
     }
     print(json.dumps(summary))

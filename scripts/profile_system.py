@@ -45,6 +45,25 @@ def main():
     # stage totals per frame
     tot = sum(s["mean_ms"] * s["count"] for s in tr.times.summary().values())
     print(f"total attributed: {tot / len(per_frame):.1f} ms/frame")
+    out = os.environ.get("PROFILE_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({
+                "backend": jax.devices()[0].platform,
+                "frames": len(per_frame),
+                "keyframes": len(tr.kf_order),
+                "landmarks": tr.n_lm,
+                "frame_ms_barriered": {
+                    "mean": round(float(ms_arr.mean()), 1),
+                    "p50": round(float(np.percentile(ms_arr, 50)), 1),
+                    "p95": round(float(np.percentile(ms_arr, 95)), 1),
+                },
+                "stages_ms": {k: {kk: round(vv, 3) for kk, vv in s.items()}
+                              for k, s in tr.times.summary().items()},
+            }, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
