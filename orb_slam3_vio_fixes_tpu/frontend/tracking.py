@@ -58,6 +58,12 @@ class TrackerConfig(NamedTuple):
     enable_kf_culling: bool = True
     enable_growth: bool = True     # capacity-tier doubling on overflow
     ba_anchors: int = 16           # fixed observer keyframes in local BA
+    po_rounds: int = 4             # motion-only pose-opt chi2 rounds
+    po_iters: int = 6              # LM iterations per round (reference runs
+    # 4x10 but converges in ~3-5 with the motion-model / IMU seed; 4x6 is
+    # measurably identical on the e2e gates and ~40% cheaper per frame —
+    # pose opt runs TWICE per frame, in pose_opt_from_obs and inside
+    # track_local_map)
     rot_check_motion: bool = False  # rotation-consistency histogram on the
     # motion-model matches (reference: mbCheckOrientation in frame-frame
     # SearchByProjection, src/ORBmatcher.cc:180-210). The mechanism is in
@@ -152,30 +158,38 @@ def match_previous(
     return cur_obs, jnp.sum(matched.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "has_vel"))
 def track_step(
     state: ms.MapState,
     prev_obs, prev_octave, prev_angle,
-    R_pred, t_pred,
+    R_prev, t_prev,
+    dR_vel, dt_vel,
     frame: FrameData,
     window_kfs,
     cam: Camera, bf,
     th_narrow, th_wide, th_local,
     cfg: TrackerConfig,
+    has_vel: bool = False,
 ):
-    """The whole per-frame OK-path as ONE device program: motion-model
-    matching (with the widened-radius retry as lax.cond instead of a host
-    round trip), motion-only pose optimization, local-map tracking, and the
-    keyframe-decision statistics.
+    """The whole per-frame OK-path as ONE device program: constant-velocity
+    pose prediction, motion-model matching (with the widened-radius retry as
+    lax.cond instead of a host round trip), motion-only pose optimization,
+    local-map tracking, the velocity-model update, and the keyframe-decision
+    statistics.
 
     The host pulls a single 16-float vector per frame — on a tunneled TPU
     every separate device->host sync costs a full RTT, and the reference's
     Track() control flow would otherwise need 4-6 of them
-    (src/Tracking.cc:1794-2332).
+    (src/Tracking.cc:1794-2332). The pose prediction and velocity update
+    live in-graph for the same reason: as eager host-side jnp math they
+    each cost a dispatch (~2 ms measured through the tunnel).
 
-    Returns (R2, t2, cur_obs, packed) with packed =
-      [R2 (9), t2 (3), n_match, n_inliers, n_close_tracked, n_close_untracked].
-    """
+    Returns (R2, t2, cur_obs, packed, R_pred, t_pred, dR_new, dt_new)."""
+    if has_vel:
+        R_pred = dR_vel @ R_prev
+        t_pred = dR_vel @ t_prev + dt_vel
+    else:
+        R_pred, t_pred = R_prev, t_prev
     cur_obs0, n_m0 = match_previous(
         state, prev_obs, prev_octave, prev_angle, R_pred, t_pred, frame,
         cam, bf, th_narrow, cfg)
@@ -203,7 +217,12 @@ def track_step(
             jnp.sum(close & ~tracked).astype(jnp.float32),
         ]),
     ])
-    return R2, t2, cur_obs, packed
+    # velocity-model update (T_cur * inv(T_prev)); so3_normalize in-graph —
+    # the motion model re-applies dR every frame, orthonormality drift
+    # compounds (see _finalize_track history)
+    dR_new = lie.so3_normalize(R2 @ R_prev.T)
+    dt_new = t2 - dR_new @ t_prev
+    return R2, t2, cur_obs, packed, R_pred, t_pred, dR_new, dt_new
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -275,7 +294,9 @@ def pose_opt_from_obs(
     pts = state.lm_pos[ids]
     uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
     inv_s2 = octave_inv_sigma2(cfg.orb)[jnp.clip(frame.octave, 0, cfg.orb.n_levels - 1)]
-    res = ba_core.pose_optimize(R, t, pts, uvr, inv_s2, act, cam, bf)
+    res = ba_core.pose_optimize(
+        R, t, pts, uvr, inv_s2, act, cam, bf,
+        ba_core.LMConfig(n_rounds=cfg.po_rounds, n_iters=cfg.po_iters))
     new_obs = jnp.where(res.inlier, cur_obs, -1)
     return res.R, res.t, new_obs, res.n_inliers
 
@@ -579,6 +600,9 @@ class StereoTracker:
     track -> keyframe decision -> (keyframe insert + local BA).
     """
 
+    _EYE3 = jnp.eye(3)
+    _ZERO3 = jnp.zeros(3)
+
     def __init__(self, cam: Camera, bf: float, cfg: TrackerConfig = TrackerConfig(),
                  loop_closer=None, relocalizer=None, atlas=None, rig=None):
         self.cam = cam
@@ -646,6 +670,7 @@ class StereoTracker:
         self.pipelined = False
         self._pending = None
         self._last_pose = (np.eye(3), np.zeros(3))
+        self._vel_candidate = None
         # asynchronous keyframe-rate work (see _insert_keyframe): stages run
         # as bounded jobs, one per frame gap, instead of inline — the
         # reference's LocalMapping/LoopClosing threads expressed for a
@@ -691,11 +716,18 @@ class StereoTracker:
 
     def _local_window(self):
         w = self.cfg.ba_window + self.cfg.ba_fixed
+        recent = tuple(self.kf_order[-w:][::-1])
+        # memoize: the window only changes at keyframe events, but this runs
+        # every frame and each jnp.asarray is a host->device dispatch
+        cached = getattr(self, "_window_cache", None)
+        if cached is not None and cached[0] == (recent, w):
+            return cached[1]
         ids = np.full(w, -1, np.int32)
-        recent = self.kf_order[-w:][::-1]
         for i, k in enumerate(recent):
             ids[i] = k
-        return jnp.asarray(ids)
+        arr = jnp.asarray(ids)
+        self._window_cache = ((recent, w), arr)
+        return arr
 
     @staticmethod
     def _upload_image(img):
@@ -804,24 +836,25 @@ class StereoTracker:
             self._record(ts)
             return np.asarray(self.R), np.asarray(self.t), self.track_state
 
-        # pose prediction (constant-velocity motion model)
-        if self.vel is not None:
-            dR, dt = self.vel
-            R_pred = dR @ self.R
-            t_pred = dR @ self.t + dt
-        else:
-            R_pred, t_pred = self.R, self.t
-
         t0 = time.perf_counter() if self.times is not None else 0.0
         self.frames_since_reloc += 1
         window = self._local_window()
-        R2, t2, cur_obs, packed = track_step(
+        has_vel = self.vel is not None
+        dR, dt = self.vel if has_vel else (self._EYE3, self._ZERO3)
+        # scalar radii are memoized: each jnp.float32() is a device_put
+        key = (self.match_radius[0], self.match_radius[1],
+               self._local_search_th())
+        cached = getattr(self, "_th_cache", None)
+        if cached is None or cached[0] != key:
+            self._th_cache = (key, tuple(jnp.float32(v) for v in key))
+        th_n, th_w, th_l = self._th_cache[1]
+        (R2, t2, cur_obs, packed, R_pred, t_pred, dR_new,
+         dt_new) = track_step(
             self.state, self.prev_obs, self.prev_octave, self.prev_angle,
-            R_pred, t_pred, frame, window, self.cam, self.bf,
-            jnp.float32(self.match_radius[0]),
-            jnp.float32(self.match_radius[1]),
-            jnp.float32(self._local_search_th()), cfg,
+            self.R, self.t, dR, dt, frame, window, self.cam, self.bf,
+            th_n, th_w, th_l, cfg, has_vel=has_vel,
         )
+        self._vel_candidate = (dR_new, dt_new)
         self._mark("track.2_track_step", t0, packed)
         if self.pipelined:
             # Software pipelining: defer the device->host sync (and every
@@ -856,10 +889,12 @@ class StereoTracker:
         n_inl2_i = int(self._frame_stats[1])
         self.last_n_inliers = n_inl2_i
 
+        fell_back = False
         if n_inl2_i < cfg.min_kf_inliers and self.ref_kf >= 0:
             # motion-model tracking failed — fall back to windowless
             # reference-keyframe matching (reference: Track() falls back to
             # TrackReferenceKeyFrame, src/Tracking.cc:1953-1955)
+            fell_back = True
             R2, t2, cur_obs, packed = track_reference_kf(
                 self.state, jnp.int32(self.ref_kf), R_pred, t_pred, frame,
                 window, self.cam, self.bf,
@@ -880,11 +915,15 @@ class StereoTracker:
 
         self.track_state = TrackState.OK
         self.lost_frames = 0
-        # velocity update: T_cur * inv(T_prev); keep dR on SO(3) — the motion
-        # model re-applies it every frame, so orthonormality drift compounds
-        dR = lie.so3_normalize(R2 @ self.R.T)
-        dt = t2 - dR @ self.t
-        self.vel = (dR, dt)
+        # velocity update: precomputed inside track_step (saves two host
+        # dispatches); the reference-KF fallback produced a different pose,
+        # so recompute eagerly on that (rare) path
+        if fell_back or self._vel_candidate is None:
+            dR = lie.so3_normalize(R2 @ self.R.T)
+            dt = t2 - dR @ self.t
+            self.vel = (dR, dt)
+        else:
+            self.vel = self._vel_candidate
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1
 

@@ -117,6 +117,8 @@ def build_pyramid_atlas(img: jax.Array, n_levels: int, scale: float,
     """(total_h, W) canvas with each pyramid level pasted at its offset
     (zeros elsewhere). Levels are the same successive resizes as
     build_pyramid."""
+    img = img.astype(jnp.float32)   # resized levels are float; a uint8
+    # canvas would silently re-quantize every pyramid level
     levels = build_pyramid(img, n_levels, scale)
     canvas = jnp.zeros((layout.total_h, layout.width), img.dtype)
     for lv, off, lh, lw in zip(levels, layout.offsets, layout.heights, layout.widths):

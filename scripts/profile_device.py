@@ -68,9 +68,9 @@ def main():
     window = tr._local_window()
     state = tr.state
     timeit(lambda: tracking.track_step(
-        state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t, f,
-        window, cam, bf, jnp.float32(7.0), jnp.float32(14.0),
-        jnp.float32(1.0), cfg)[3], name="track_step")
+        state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t,
+        jnp.eye(3), jnp.zeros(3), f, window, cam, bf, jnp.float32(7.0),
+        jnp.float32(14.0), jnp.float32(1.0), cfg)[3], name="track_step")
     # keyframe stages — donating programs get a fresh state copy per call;
     # the copy cost is measured separately and reported for subtraction
     from orb_slam3_vio_fixes_tpu.frontend import local_mapping as lm_mod

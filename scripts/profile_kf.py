@@ -114,7 +114,8 @@ def main():
            name="build_stereo_frame")
     window = tr._local_window()
     timeit(lambda: tracking.track_step(
-        state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t, f, window, cam, bf,
+        state, tr.prev_obs, tr.prev_octave, tr.prev_angle, tr.R, tr.t,
+        jnp.eye(3), jnp.zeros(3), f, window, cam, bf,
         jnp.float32(7.0), jnp.float32(14.0), jnp.float32(1.0), cfg)[3],
         name="track_step")
 
