@@ -93,35 +93,108 @@ class PipelineRunner:
         self.mavlink = mavlink
         self.n = min(len(seq), max_frames) if max_frames else len(seq)
         self.times = StageTimes()
+        self.used_native_queue = False
 
-    def _decoder(self, out_q, stop):
+    # -- native bounded hand-off (the reference's C++ queue runtime role:
+    # src/LocalMapping.cc:284-296 — here between the decode producer and
+    # the tracking consumer; falls back to a Python list when the .so
+    # cannot be built) --
+
+    class _FrameCodec:
+        """Fixed-layout (ts + arrays) <-> bytes for the native queue."""
+
+        def __init__(self, template):
+            ts, im_l, im_r, dep = template
+            self.parts = []
+            for a in (im_l, im_r, dep):
+                self.parts.append(None if a is None
+                                  else (np.asarray(a).shape,
+                                        np.asarray(a).dtype))
+            self.item_size = 8 + sum(
+                int(np.prod(p[0])) * np.dtype(p[1]).itemsize
+                for p in self.parts if p is not None)
+
+        def pack(self, frame) -> bytes:
+            ts, im_l, im_r, dep = frame
+            out = [np.float64(ts).tobytes()]
+            for a in (im_l, im_r, dep):
+                if a is not None:
+                    out.append(np.ascontiguousarray(a).tobytes())
+            return b"".join(out)
+
+        def unpack(self, buf: bytes):
+            ts = float(np.frombuffer(buf[:8], np.float64)[0])
+            off = 8
+            arrs = []
+            for p in self.parts:
+                if p is None:
+                    arrs.append(None)
+                    continue
+                shape, dtype = p
+                nb = int(np.prod(shape)) * np.dtype(dtype).itemsize
+                arrs.append(np.frombuffer(
+                    buf[off:off + nb], dtype).reshape(shape).copy())
+                off += nb
+            return (ts,) + tuple(arrs)
+
+    def _decoder(self, out_q, stop, codec):
+        from orb_slam3_vio_fixes_tpu.runtime import native as rt_native
+
         for i in range(self.n):
             if stop.is_set():
                 return
             t0 = time.perf_counter()
             frame = self.seq.frame(i)
             self.times.add("decode", time.perf_counter() - t0)
-            out_q.append(frame)
-            while len(out_q) >= self.prefetch and not stop.is_set():
-                time.sleep(0.001)
+            if isinstance(out_q, rt_native.NativeQueue):
+                data = codec.pack(frame)
+                while not stop.is_set():
+                    if out_q.push(data):
+                        break
+                    time.sleep(0.001)
+            else:
+                out_q.append(frame)
+                while len(out_q) >= self.prefetch and not stop.is_set():
+                    time.sleep(0.001)
 
     def run(self) -> RunResult:
         from orb_slam3_vio_fixes_tpu.sensors import Sensor
+        from orb_slam3_vio_fixes_tpu.runtime import native as rt_native
 
         sysm = self.system
         sensor = sysm.sensor
-        out_q: list = []
+        codec = self._FrameCodec(self.seq.frame(0))
+        out_q = None
+        if rt_native.native_available():
+            try:
+                out_q = rt_native.NativeQueue(self.prefetch, codec.item_size)
+                self.used_native_queue = True
+            except Exception:
+                out_q = None
+        if out_q is None:
+            out_q = []
         stop = threading.Event()
-        dec = threading.Thread(target=self._decoder, args=(out_q, stop), daemon=True)
+        dec = threading.Thread(target=self._decoder,
+                               args=(out_q, stop, codec), daemon=True)
         dec.start()
 
         prev_ts = None
         t_start = time.perf_counter()
         try:
             for i in range(self.n):
-                while not out_q:
-                    time.sleep(0.001)
-                ts, im_l, im_r, dep = out_q.pop(0)
+                if self.used_native_queue:
+                    buf = None
+                    while buf is None:
+                        buf = out_q.pop(timeout_ms=100)
+                        if (buf is None and not dec.is_alive()
+                                and out_q.size() == 0):
+                            raise RuntimeError(
+                                "frame decoder ended before the sequence")
+                    ts, im_l, im_r, dep = codec.unpack(buf)
+                else:
+                    while not out_q:
+                        time.sleep(0.001)
+                    ts, im_l, im_r, dep = out_q.pop(0)
 
                 imu = None
                 if sensor.has_imu and self.seq.imu is not None and prev_ts is not None:
@@ -152,6 +225,8 @@ class PipelineRunner:
         finally:
             stop.set()
             dec.join(timeout=2.0)
+            if self.used_native_queue:
+                out_q.close()
 
         wall = time.perf_counter() - t_start
         return RunResult(

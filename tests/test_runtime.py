@@ -149,9 +149,15 @@ def test_pipeline_runner_synthetic(tmp_path):
     )
     slam = sys_mod.SLAMSystem(settings, Sensor.STEREO, map_cfg=map_cfg,
                               tracker_cfg=tracker_cfg)
-    res = PipelineRunner(slam, seq, prefetch=2).run()
+    runner = PipelineRunner(slam, seq, prefetch=2)
+    res = runner.run()
     assert res.n_frames == n_frames
     assert len(res.trajectory) == n_frames
     assert "decode" in res.times.series and "track" in res.times.series
+    # the decode->track hand-off must ride the NATIVE bounded queue when the
+    # C++ runtime is buildable in this environment (it is: native/build.sh)
+    from orb_slam3_vio_fixes_tpu.runtime import native as rt_native
+    if rt_native.native_available():
+        assert runner.used_native_queue
     # tracked without getting lost on an easy synthetic scene
     assert slam.get_tracking_state() == trk.TrackState.OK
