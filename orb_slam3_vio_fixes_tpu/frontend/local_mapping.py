@@ -199,7 +199,8 @@ def create_new_landmarks(
     n0 = n_lm
     for w in range(cfg.n_neighbors):
         state, n_lm = one_neighbor(state, n_lm, neighbor_ids[w])
-    state = ms.update_landmark_stats(state, cfg.n_levels, cfg.scale)
+    # stats for the new landmarks were computed inline per pass; the
+    # once-per-cycle full refresh happens at the end of fuse_duplicates
     return state._replace(epoch=state.epoch + 1), n_lm - n0
 
 

@@ -58,12 +58,14 @@ class TrackerConfig(NamedTuple):
     enable_kf_culling: bool = True
     enable_growth: bool = True     # capacity-tier doubling on overflow
     ba_anchors: int = 16           # fixed observer keyframes in local BA
-    po_rounds: int = 4             # motion-only pose-opt chi2 rounds
-    po_iters: int = 6              # LM iterations per round (reference runs
-    # 4x10 but converges in ~3-5 with the motion-model / IMU seed; 4x6 is
-    # measurably identical on the e2e gates and ~40% cheaper per frame —
-    # pose opt runs TWICE per frame, in pose_opt_from_obs and inside
-    # track_local_map)
+    po_rounds: int = 2             # motion-only pose-opt chi2 rounds
+    po_iters: int = 5              # LM iterations per round (reference runs
+    # 4x10; with the motion-model / IMU seed and Huber weights the pose
+    # converges in 3-5 iterations and the extra gating rounds only re-flag
+    # the same outliers — 2x5 is measurably identical on the e2e/GT gates
+    # and ~60% cheaper than 4x6. Pose opt runs TWICE per frame (in
+    # pose_opt_from_obs and inside track_local_map), so this is one of the
+    # two dominant per-frame sequential costs.
     rot_check_motion: bool = False  # rotation-consistency histogram on the
     # motion-model matches (reference: mbCheckOrientation in frame-frame
     # SearchByProjection, src/ORBmatcher.cc:180-210). The mechanism is in
@@ -432,7 +434,10 @@ def create_keyframe(
         frame.uv, frame.ur, frame.octave, frame.angle, frame.desc, frame.valid,
         obs, frame.depth,
     )
-    state = ms.update_landmark_stats(state, cfg.orb.n_levels, cfg.orb.scale)
+    # landmark stats are NOT refreshed here: the new landmarks' normal/scale
+    # range were just computed inline above, and the keyframe-rate pipeline
+    # refreshes old landmarks once per cycle at the end of fuse_duplicates
+    # (three full-table refreshes per keyframe measured ~8 ms of scatters)
     return state, jnp.sum(is_new.astype(jnp.int32))
 
 
@@ -512,10 +517,10 @@ def local_ba(
     # scale (callers accumulate into Tracker.ba_truncated)
     n_trunc = jnp.maximum(
         jnp.sum(valid.astype(jnp.int32)) - jnp.int32(F_budget), 0)
-    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)[:F_budget]
+    order, order_ok = ba_core.compact_indices(valid, F_budget)
     factors = ba_core.ReprojFactors(
         pose_idx[order], lm_idx[order], uvr[order], inv_s2[order],
-        valid[order])
+        valid[order] & order_ok)
     # COMPACT the landmark axis too: every LM iteration otherwise runs
     # landmark-table-sized ops (Hll scatter/inverse/back-substitution) over
     # the full MAP CAPACITY — measured 296 ms/solve at a 32k-slot tier vs
@@ -526,27 +531,34 @@ def local_ba(
     lm_budget = min(L, cfg.ba_lm_budget)
     used = jnp.zeros(L, bool).at[
         jnp.clip(factors.lm_idx, 0, L - 1)].max(factors.valid)
-    sub_idx = jnp.argsort(jnp.where(used, 0, 1), stable=True)[:lm_budget]
-    remap = jnp.full(L, -1, jnp.int32).at[sub_idx].set(
-        jnp.arange(lm_budget, dtype=jnp.int32))
+    sub_idx, sub_ok = ba_core.compact_indices(used, lm_budget)
+    remap = jnp.full(L + 1, -1, jnp.int32).at[
+        jnp.where(sub_ok, sub_idx, L)].set(
+        jnp.arange(lm_budget, dtype=jnp.int32))[:L]
     lm_local = remap[jnp.clip(factors.lm_idx, 0, L - 1)]
     got_slot = lm_local >= 0
     n_trunc = n_trunc + jnp.sum((factors.valid & ~got_slot).astype(jnp.int32))
     factors = factors._replace(
         lm_idx=jnp.clip(lm_local, 0, lm_budget - 1),
         valid=factors.valid & got_slot)
-    used_sub = used[sub_idx]
+    used_sub = used[sub_idx] & sub_ok
     # landmarks seen by a single keyframe have weakly-determined depth; keep
     # them anchored at their stereo-spawned position until a second view
     # constrains them (the reference's MapPointCulling plays the same role by
-    # deleting under-observed points, src/LocalMapping.cc:346-385)
-    n_obs = ms.landmark_obs_count(state)
+    # deleting under-observed points, src/LocalMapping.cc:346-385).
+    # The count comes from THIS problem's factor table (window + anchors),
+    # not a global pass: observations outside the window contribute no
+    # factor here, so a landmark they alone multi-cover would be dragged by
+    # a single residual if left free — and the global landmark_obs_count
+    # costs a full (K, N) scatter (~4 ms) per solve.
+    n_obs_local = jnp.zeros(lm_budget, jnp.int32).at[factors.lm_idx].add(
+        factors.valid.astype(jnp.int32))
     problem = ba_core.BAProblem(
         R=state.kf_R[safe_w], t=state.kf_t[safe_w],
         pose_fixed=fixed,
         lm=state.lm_pos[sub_idx],
         lm_valid=state.lm_valid[sub_idx] & used_sub,
-        lm_fixed=(n_obs < 2)[sub_idx],
+        lm_fixed=n_obs_local < 2,
         factors=factors, cam=cam, bf=bf,
     )
     # chi2-gated rounds (reference: 5+10 with the common abort — depth-
@@ -556,8 +568,10 @@ def local_ba(
                                   n_iters=cfg.ba_iters,
                                   cg_iters=cfg.ba_cg_iters)
     )
-    # un-compact the inlier mask
-    inlier = jnp.ones(F_full, bool).at[order].set(inlier_c | ~factors.valid)
+    # un-compact the inlier mask (pad slots of `order` must not scatter)
+    inlier = jnp.ones(F_full + 1, bool).at[
+        jnp.where(order_ok, order, F_full)].set(
+        inlier_c | ~factors.valid)[:F_full]
     # write back adjusted poses (only adjustable, valid ones)
     upd = w_ok & ~fixed
     lm_upd = used_sub & state.lm_valid[sub_idx] & ~problem.lm_fixed
@@ -678,6 +692,21 @@ class StereoTracker:
         self.async_kf = False
         self._kf_jobs = deque()
         self._kf_nlm_dev = jnp.int32(0)
+        # monotonic keyframe-creation counter: slot ids recycle through the
+        # free list, so periodic stages (landmark/keyframe culling) must NOT
+        # gate on kf_id parity (advisor round-4 finding)
+        self._kf_seq = 0
+        # Async loop-correction bookkeeping: when a deferred
+        # _kf_stage_finalize job rebases the tracker onto a corrected map,
+        # the world moves under every in-flight pose (the pipelined frame's
+        # R2/t2, the R/t an _insert_keyframe caller holds). _corr_delta is
+        # the composed world-to-world SE3 delta D = T_rw_old^-1 @ T_rw_new
+        # (apply as T_cw_new = T_cw_old @ D); _corr_epoch counts corrections
+        # so callers detect one that fired inside a drain. Cleared at each
+        # new track dispatch — by then self.R/self.t/self.state are
+        # mutually consistent again.
+        self._corr_delta = None
+        self._corr_epoch = 0
 
     def _mark(self, name: str, t0: float, out) -> float:
         """Profiling stage boundary: block + record when self.times is set.
@@ -801,6 +830,10 @@ class StereoTracker:
         # (fallback, lost transition, keyframe insert) must land before this
         # frame's tracking is dispatched — same order as sync mode
         self.flush(drain_jobs=False)
+        # any still-unconsumed correction delta is obsolete from here on:
+        # the dispatch below reads self.R/self.t/self.state, which are
+        # mutually consistent (corrections rebase them at fire time)
+        self._corr_delta = None
         if self.track_state == TrackState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             self._record(ts)
@@ -865,17 +898,17 @@ class StereoTracker:
             # thread, src/System.cc:194-237; on an async device the tracker
             # itself can be the overlapped stage).
             self._pending = (frame, ts, R2, t2, cur_obs, packed,
-                             R_pred, t_pred, window)
+                             R_pred, t_pred, window, self._corr_epoch)
             # one bounded keyframe-stage job rides this frame gap (async_kf)
             self._run_kf_job()
             return self._last_pose + (self.track_state,)
         out = self._finalize_track(frame, ts, R2, t2, cur_obs, packed,
-                                   R_pred, t_pred, window)
+                                   R_pred, t_pred, window, self._corr_epoch)
         self._run_kf_job()
         return out
 
     def _finalize_track(self, frame, ts, R2, t2, cur_obs, packed,
-                        R_pred, t_pred, window):
+                        R_pred, t_pred, window, dispatch_epoch=None):
         """Sync the tracking result and run every host decision for the
         frame: fallback matching, lost handling, velocity/bookkeeping,
         keyframe insertion, trajectory record."""
@@ -885,6 +918,27 @@ class StereoTracker:
         packed = np.asarray(packed)
         if self.times is not None:
             self.times.add("track.3_sync_pull", time.perf_counter() - t0)
+        # An async loop correction fired between this frame's dispatch and
+        # now (a _kf_stage_finalize job ran in the pipelined frame gap): the
+        # frame's pose was computed against the pre-correction map — carry
+        # it into the corrected world through the published delta instead of
+        # silently overwriting the rebase (advisor round-4 medium finding).
+        corrected_in_flight = False
+        if (dispatch_epoch is not None and self._corr_epoch != dispatch_epoch
+                and self._corr_delta is not None):
+            Rd, td = self._corr_delta
+            self._corr_delta = None
+            Rdj = jnp.asarray(Rd, jnp.float32)
+            tdj = jnp.asarray(td, jnp.float32)
+            t2 = R2 @ tdj + t2
+            R2 = R2 @ Rdj
+            t_pred = R_pred @ tdj + t_pred
+            R_pred = R_pred @ Rdj
+            Rp = packed[:9].reshape(3, 3)
+            packed = packed.copy()
+            packed[9:12] = Rp @ td + packed[9:12]
+            packed[:9] = (Rp @ Rd).reshape(-1)
+            corrected_in_flight = True
         self._frame_stats = packed[12:].astype(np.int64)
         n_inl2_i = int(self._frame_stats[1])
         self.last_n_inliers = n_inl2_i
@@ -917,8 +971,12 @@ class StereoTracker:
         self.lost_frames = 0
         # velocity update: precomputed inside track_step (saves two host
         # dispatches); the reference-KF fallback produced a different pose,
-        # so recompute eagerly on that (rare) path
-        if fell_back or self._vel_candidate is None:
+        # so recompute eagerly on that (rare) path. After an in-flight loop
+        # correction the model restarts (reference drops mVelocity on map
+        # change, src/Tracking.cc:1890-1896)
+        if corrected_in_flight:
+            self.vel = None
+        elif fell_back or self._vel_candidate is None:
             dR = lie.so3_normalize(R2 @ self.R.T)
             dt = t2 - dR @ self.t
             self.vel = (dR, dt)
@@ -927,12 +985,20 @@ class StereoTracker:
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1
 
+        ep_insert = self._corr_epoch
         if not self.localization_only and self._need_keyframe(
                 frame, cur_obs, n_inl2_i):
             self._insert_keyframe(frame, R2, t2, cur_obs)
-        # record from the already-fetched packed vector (no extra sync)
-        R_np = packed[:9].reshape(3, 3).astype(np.float64)
-        t_np = packed[9:12].astype(np.float64)
+        if self._corr_epoch != ep_insert:
+            # a correction fired inside the insert's job drain — self.R/
+            # self.t were rebased there; record those, not the stale packed
+            R_np = np.asarray(self.R, np.float64)
+            t_np = np.asarray(self.t, np.float64)
+            self.vel = None
+        else:
+            # record from the already-fetched packed vector (no extra sync)
+            R_np = packed[:9].reshape(3, 3).astype(np.float64)
+            t_np = packed[9:12].astype(np.float64)
         self._record_np(ts, R_np, t_np)
         self._last_pose = (R_np, t_np)
         return R_np, t_np, self.track_state
@@ -1234,7 +1300,20 @@ class StereoTracker:
         # any stages still pending for the PREVIOUS keyframe must land
         # before this one is created (keeps every host counter exact; the
         # reference's InterruptBA analogue below drops superseded BA instead)
+        ep0 = self._corr_epoch
         self._drain_kf_jobs()
+        if self._corr_epoch != ep0 and self._corr_delta is not None:
+            # a loop correction fired inside the drain: the caller-held pose
+            # this keyframe is about to be created from predates it — carry
+            # it into the corrected world (self.R/self.t were already
+            # rebased by the job itself)
+            Rd, td = self._corr_delta
+            self._corr_delta = None
+            Rdj = jnp.asarray(Rd, jnp.float32)
+            tdj = jnp.asarray(td, jnp.float32)
+            t = R @ tdj + t
+            R = R @ Rdj
+            self.vel = None
         self._maybe_grow()
         kf_id = self._peek_kf_slot()
         if self._free_kf_slots and kf_id == self._free_kf_slots[0]:
@@ -1256,19 +1335,26 @@ class StereoTracker:
             self.n_kf += 1          # fresh slot moved the high-water mark
         self.kf_order.append(kf_id)
         self.frames_since_kf = 0
+        self._kf_seq += 1
+        seq = self._kf_seq   # monotonic id for the periodic-stage gates
         if self.async_kf:
             self._refresh_ref_pose(kf_id, (np.asarray(R, np.float64),
                                            np.asarray(t, np.float64)))
             self._kf_jobs.append(lambda: self._kf_stage_map(kf_id))
-            for r in range(self.cfg.ba_rounds):
-                self._kf_jobs.append(
-                    functools.partial(self._kf_stage_ba, kf_id))
-            self._kf_jobs.append(lambda: self._kf_stage_cull(kf_id))
+            # ONE local-BA job with all chi2 rounds inside: per-call fixed
+            # costs (factor build, compaction, Schur structure) dominate a
+            # 3-iteration round, so two 1-round jobs cost ~40% more device
+            # time than one 2-round job for the same math
+            self._kf_jobs.append(
+                functools.partial(self._kf_stage_ba, kf_id,
+                                  self.cfg.ba_rounds))
+            self._kf_jobs.append(
+                functools.partial(self._kf_stage_cull, kf_id, seq))
             self._kf_jobs.append(lambda: self._kf_stage_finalize(kf_id))
             return kf_id
         self._kf_stage_map(kf_id, prof=prof)
         self._kf_stage_ba(kf_id, n_rounds=self.cfg.ba_rounds, prof=prof)
-        self._kf_stage_cull(kf_id, prof=prof)
+        self._kf_stage_cull(kf_id, seq, prof=prof)
         self._kf_stage_finalize(kf_id, prof=prof)
         return kf_id
 
@@ -1314,7 +1400,16 @@ class StereoTracker:
         round is its own bounded job (the reference's interruptible-BA
         granularity, src/LocalMapping.cc:288)."""
         t0 = time.perf_counter() if prof else 0.0
-        adj, fixed = self._ba_window(kf_id)
+        # the covisibility window is selected ONCE per keyframe and reused by
+        # the later BA rounds (the reference's LBA also fixes its window up
+        # front, src/Optimizer.cc:1116-1130); recomputing costs a (K,N)
+        # scatter + (K,K) matmul per round
+        cached = getattr(self, "_ba_window_cache", None)
+        if cached is not None and cached[0] == kf_id:
+            adj, fixed = cached[1]
+        else:
+            adj, fixed = self._ba_window(kf_id)
+            self._ba_window_cache = (kf_id, (adj, fixed))
         if prof:
             t0 = self._mark("kf.4_ba_window", t0, fixed)
         cfg = self.cfg._replace(ba_rounds=n_rounds)
@@ -1324,14 +1419,17 @@ class StereoTracker:
         if prof:
             self._mark("kf.5_local_ba", t0, self.state.lm_pos)
 
-    def _kf_stage_cull(self, kf_id, prof=False):
+    def _kf_stage_cull(self, kf_id, seq=None, prof=False):
         t0 = time.perf_counter() if prof else 0.0
         lcfg = self._lm_cfg()
-        # landmark culling every 2nd keyframe: the redundancy criteria only
-        # move when new observations land, and the pass costs a full
-        # landmark-block program (reference culls per mapping iteration but
-        # on a per-point recent list, src/LocalMapping.cc:346-385)
-        if kf_id % 2 == 0:
+        if seq is None:
+            seq = self._kf_seq
+        # landmark culling every 2nd keyframe CREATION (gated on the
+        # monotonic _kf_seq, not the recyclable slot id): the redundancy
+        # criteria only move when new observations land, and the pass costs
+        # a full landmark-block program (reference culls per mapping
+        # iteration but on a per-point recent list, src/LocalMapping.cc:346)
+        if seq % 2 == 0:
             g = lcfg.cull_grace_kfs
             recent = np.full(g, -1, np.int32)
             for i, k in enumerate(self.kf_order[-g:]):
@@ -1342,7 +1440,7 @@ class StereoTracker:
         if prof:
             t0 = self._mark("kf.6_cull_lm", t0, self.state.lm_valid)
         if (self.cfg.enable_kf_culling and self._can_cull()
-                and kf_id % self.cfg.kf_cull_every == 0
+                and seq % self.cfg.kf_cull_every == 0
                 and len(self.kf_order) > self.cfg.ba_window + 2):
             self._cull_keyframes()
         if prof:
@@ -1351,7 +1449,6 @@ class StereoTracker:
     def _kf_stage_finalize(self, kf_id, prof=False):
         # loop closing (reference: LoopClosing::InsertKeyFrame queue,
         # src/LocalMapping.cc:250 — synchronous call here, same kernels)
-        prof_t = time.perf_counter() if prof else 0.0
         if self.loop_closer is not None and self._loop_enabled():
             t0 = time.perf_counter() if prof else 0.0
             mg = self.loop_closer.cfg.min_gap_kfs
@@ -1389,18 +1486,33 @@ class StereoTracker:
                 # corrected pose (T_cw = T_cr * T_rw_corrected — the
                 # reference's map-update re-base, src/Tracking.cc:1890-1896)
                 self._post_loop_gba(kf_id)
-                if self.async_kf and self.ref_kf >= 0:
+                if self.ref_kf >= 0:
+                    # world-to-world delta of this correction, published for
+                    # any pose still in flight (pipelined frame, insert
+                    # caller): D = T_rw_old^-1 @ T_rw_new
                     R_rw, t_rw = self._ref_pose
-                    R_np = np.asarray(self.R, np.float64)
-                    t_np = np.asarray(self.t, np.float64)
-                    R_cr = R_np @ R_rw.T
-                    t_cr = t_np - R_cr @ t_rw
                     R_new = np.asarray(self.state.kf_R[self.ref_kf],
                                        np.float64)
                     t_new = np.asarray(self.state.kf_t[self.ref_kf],
                                        np.float64)
-                    self.R = jnp.asarray(R_cr @ R_new, jnp.float32)
-                    self.t = jnp.asarray(R_cr @ t_new + t_cr, jnp.float32)
+                    Rd = R_rw.T @ R_new
+                    td = R_rw.T @ (t_new - t_rw)
+                    if self._corr_delta is None:
+                        self._corr_delta = (Rd, td)
+                    else:
+                        # compose onto an earlier unconsumed delta; the live
+                        # pose below still gets only THIS correction's Rd/td
+                        # (it was already rebased when the earlier one fired)
+                        Rp, tp = self._corr_delta
+                        self._corr_delta = (Rp @ Rd, Rp @ td + tp)
+                    self._corr_epoch += 1
+                if self.async_kf and self.ref_kf >= 0:
+                    # re-base the live tracker pose through the same delta
+                    # (T_cw_new = T_cw_old @ D)
+                    R_np = np.asarray(self.R, np.float64)
+                    t_np = np.asarray(self.t, np.float64)
+                    self.R = jnp.asarray(R_np @ Rd, jnp.float32)
+                    self.t = jnp.asarray(R_np @ td + t_np, jnp.float32)
                     self._refresh_ref_pose(self.ref_kf, (R_new, t_new))
                 else:
                     self.R = self.state.kf_R[kf_id]
@@ -1416,7 +1528,7 @@ class StereoTracker:
             self.state.kf_t[kf_id],
         ]))
         if prof:
-            self.times.add("kf.9_pull", time.perf_counter() - prof_t)
+            self.times.add("kf.9_pull", time.perf_counter() - t0)
         self.n_lm = int(counts[0])
         self.ref_inliers = max(int(counts[1]), 1)
         if not self.async_kf or self.ref_kf == kf_id:

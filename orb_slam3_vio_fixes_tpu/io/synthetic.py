@@ -126,6 +126,121 @@ class StereoSequence(NamedTuple):
     baseline: float
 
 
+class SensorNoise(NamedTuple):
+    """Photometric degradation model for the synthetic camera (the round-4
+    verdict's missing #3: the clean renderer never stresses the front end
+    the way real EuRoC/TUM imagery does — reference survives it via the
+    FAST threshold fallback src/ORBextractor.cc:826-827 and a learned BRIEF
+    pattern :149).
+
+    All intensities are gray levels (0..255)."""
+
+    read_sigma: float = 0.0     # Gaussian read noise sigma
+    shot_scale: float = 0.0     # shot noise sigma = shot_scale * sqrt(I)
+    blur_sigma: float = 0.0     # Gaussian optical blur sigma (px)
+    motion_blur: int = 0        # horizontal box blur length (px)
+    gain_drift: float = 0.0     # fractional exposure oscillation amplitude
+    gain_period: float = 40.0   # frames per exposure cycle
+    vignette: float = 0.0       # corner intensity falloff fraction (0..1)
+    occluders: int = 0          # random moving occluder patches per frame
+    occluder_size: int = 40     # occluder side (px)
+
+    @property
+    def active(self) -> bool:
+        return (self.read_sigma > 0 or self.shot_scale > 0
+                or self.blur_sigma > 0 or self.motion_blur > 0
+                or self.gain_drift > 0 or self.vignette > 0
+                or self.occluders > 0)
+
+
+# a moderately harsh default: ~2-4 gray of noise, mild blur, exposure and
+# vignette drift, a couple of moving occluders — the "sigma=2-4 + mild blur"
+# operating point the round-4 verdict asked the gates to run at
+DEFAULT_NOISE = SensorNoise(
+    read_sigma=2.0, shot_scale=0.25, blur_sigma=0.6, gain_drift=0.12,
+    vignette=0.25, occluders=2, occluder_size=36,
+)
+
+
+def degrade_images(imgs: np.ndarray, rng, noise: SensorNoise,
+                   frame0: int = 0) -> np.ndarray:
+    """Apply the SensorNoise model to a (T, H, W) float image stack.
+
+    Order mirrors a real camera: optics blur -> vignette/exposure ->
+    occluders (scene-level, before sensor noise) -> shot + read noise ->
+    uint8 clip. Deterministic given (rng, frame0)."""
+    if not noise.active:
+        return imgs
+    from scipy.ndimage import gaussian_filter, uniform_filter1d
+
+    T, h, w = imgs.shape
+    out = imgs.astype(np.float32).copy()
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = (((yy - h / 2) / (h / 2)) ** 2 + ((xx - w / 2) / (w / 2)) ** 2) / 2.0
+    vig = 1.0 - noise.vignette * r2 if noise.vignette > 0 else None
+    for t in range(T):
+        img = out[t]
+        if noise.blur_sigma > 0:
+            img = gaussian_filter(img, noise.blur_sigma)
+        if noise.motion_blur > 1:
+            img = uniform_filter1d(img, noise.motion_blur, axis=1)
+        if noise.gain_drift > 0:
+            gain = 1.0 + noise.gain_drift * np.sin(
+                2.0 * np.pi * (frame0 + t) / noise.gain_period)
+            img = img * gain
+        if vig is not None:
+            img = img * vig
+        for _ in range(noise.occluders):
+            s = noise.occluder_size
+            y0 = rng.integers(0, max(h - s, 1))
+            x0 = rng.integers(0, max(w - s, 1))
+            tex = rng.uniform(20, 240, size=(max(s // 6, 1),) * 2)
+            tex = np.kron(tex, np.ones((6, 6)))[:s, :s]
+            img[y0:y0 + s, x0:x0 + s] = tex[: min(s, h - y0),
+                                            : min(s, w - x0)]
+        sigma = noise.read_sigma
+        if noise.shot_scale > 0:
+            sig_map = np.sqrt(sigma ** 2
+                              + noise.shot_scale ** 2 * np.maximum(img, 0.0))
+            img = img + rng.standard_normal(img.shape).astype(np.float32) * sig_map
+        elif sigma > 0:
+            img = img + rng.normal(0, sigma, img.shape).astype(np.float32)
+        out[t] = np.clip(img, 0.0, 255.0)
+    return out
+
+
+def degrade_stereo(seq, rng, noise: SensorNoise = DEFAULT_NOISE):
+    """Degrade both eyes of a StereoSequence / StereoInertialSequence with
+    independent noise draws (same exposure/vignette model)."""
+    return seq._replace(
+        imgs_l=degrade_images(seq.imgs_l, rng, noise),
+        imgs_r=degrade_images(seq.imgs_r, rng, noise),
+    )
+
+
+def perturb_imu(imu: np.ndarray, rng, gyro_noise: float = 0.004,
+                acc_noise: float = 0.02, gyro_walk: float = 2e-5,
+                acc_walk: float = 3e-4, gyro_bias0: float = 0.003,
+                acc_bias0: float = 0.02) -> np.ndarray:
+    """Add white noise + random-walk bias to a clean (T-1, S, 7) IMU stack
+    (EuRoC-class noise densities at 200 Hz; reference configs:
+    Examples/Stereo-Inertial/EuRoC.yaml IMU.NoiseGyro/NoiseAcc/GyroWalk/
+    AccWalk). Returns a copy."""
+    out = imu.copy()
+    bg = rng.normal(0, gyro_bias0, 3)
+    ba = rng.normal(0, acc_bias0, 3)
+    for i in range(out.shape[0]):
+        for k in range(out.shape[1]):
+            dt = float(out[i, k, 6])
+            if dt <= 0:
+                continue
+            ba = ba + rng.normal(0, acc_walk * np.sqrt(dt), 3)
+            bg = bg + rng.normal(0, gyro_walk * np.sqrt(dt), 3)
+            out[i, k, 0:3] += ba + rng.normal(0, acc_noise, 3)
+            out[i, k, 3:6] += bg + rng.normal(0, gyro_noise, 3)
+    return out
+
+
 def orbit_trajectory(n_frames, dt=0.05, radius=0.0, speed=(0.25, 0.0, 0.0),
                      yaw_rate=0.0):
     """Simple smooth trajectory: constant velocity + optional yaw."""

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_vio_fixes_tpu.utils.cameras import Camera, project, unproject
+from orb_slam3_vio_fixes_tpu.utils.linalg import inv3
 
 
 @jax.jit
@@ -23,9 +24,17 @@ def triangulate_dlt(R1, t1, R2, t2, ray1, ray2):
     ray1/ray2: (..., 3) — unit-depth bearings (x/z, y/z, 1) in each camera.
     Returns world points (..., 3).
 
-    Solves A X = 0 with rows (x*P3 - P1), (y*P3 - P2) per view via the
-    eigenvector of A^T A (4x4 symmetric — cheaper and batch-friendlier than
-    full SVD of A, same nullspace).
+    Solves A [X; 1] = 0 with rows (x*P3 - P1), (y*P3 - P2) per view. The
+    reference runs a full SVD (src/GeometricTools.cc:46-66); the round-4
+    build used the smallest eigenvector of the 4x4 A^T A — but XLA's batched
+    `eigh` is latency-bound on TPU (it dominated the 18 ms triangulation
+    stage). Since every accepted landmark is FINITE (the parallax/depth/
+    reprojection gates reject near-infinity points), the homogeneous scale
+    can be pinned to w=1: solve the inhomogeneous least squares
+    A[:, :3] X = -A[:, 3] through its 3x3 normal equations with a
+    closed-form inverse — pure vectorized arithmetic, identical accepted
+    sets in practice (degenerate pairs produce huge/garbage X that the same
+    gates reject).
     """
     P1 = jnp.concatenate([R1, t1[..., None]], axis=-1)  # (..., 3, 4)
     P2 = jnp.concatenate([R2, t2[..., None]], axis=-1)
@@ -36,12 +45,15 @@ def triangulate_dlt(R1, t1, R2, t2, ray1, ray2):
         rows.append(x[..., None] * P[..., 2, :] - P[..., 0, :])
         rows.append(y[..., None] * P[..., 2, :] - P[..., 1, :])
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    # smallest eigenvector of symmetric 4x4
-    w, v = jnp.linalg.eigh(AtA)
-    X = v[..., :, 0]
-    Xw = X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-12, 1e-12, X[..., 3:])
-    return Xw
+    A3 = A[..., :3]
+    a4 = A[..., 3]
+    M = jnp.einsum("...ki,...kj->...ij", A3, A3)          # (..., 3, 3)
+    b = -jnp.einsum("...ki,...k->...i", A3, a4)           # (..., 3)
+    # tiny relative ridge keeps the closed-form inverse finite on
+    # zero-parallax pairs (their solutions fail the acceptance gates anyway)
+    tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
+    eps = (1e-9 * tr + 1e-20)[..., None, None] * jnp.eye(3, dtype=M.dtype)
+    return jnp.einsum("...ij,...j->...i", inv3(M + eps), b)
 
 
 @jax.jit

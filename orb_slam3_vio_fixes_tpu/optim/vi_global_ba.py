@@ -420,6 +420,51 @@ def run_global_vi_ba(
     return new_state, jnp.sum((valid & inlier).astype(jnp.int32))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_vi_gba_fn(mesh, axis: str, block: int, cfg: "VIGBAConfig"):
+    """Module-level memoized jit of the sharded VI-GBA program: keyed on
+    (mesh, axis, landmark-block size, cfg) so repeated loop/merge GBAs at the
+    same capacity tier reuse one compilation instead of retracing the whole
+    shard_map LM/CG program per call (advisor round-4 finding)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(R_wb, p_wb, vel, bg, ba, lm_loc, lm_fixed_loc, pose_fixed,
+             f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+             R_cb, t_cb, bg_ref, ba_ref):
+        shard = jax.lax.axis_index(axis)
+        factors = vi_ba.VIReprojFactors(
+            f_pose, f_lm - shard * block, f_uvr, f_is2, f_valid)
+        x0 = (R_wb, p_wb, vel, bg, ba, lm_loc)
+        x, inlier = _vi_gba_solve(
+            x0, factors, inertial, pose_fixed, lm_fixed_loc,
+            bg_ref, ba_ref, cam, bf, R_cb, t_cb, cfg, axis=axis)
+        n_inl = jax.lax.psum(
+            jnp.sum((f_valid & inlier).astype(jnp.int32)), axis)
+        return x[0], x[1], x[2], x[3], x[4], x[5], inlier, n_inl
+
+    @jax.jit
+    def _run(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
+             f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+             R_cb, t_cb, bg_ref, ba_ref):
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(), P(),           # body states (replicated)
+                P(axis), P(axis),                  # lm block, lm_fixed block
+                P(),                               # pose_fixed
+                P(axis), P(axis), P(axis), P(axis), P(axis),  # factors
+                P(), P(), P(), P(), P(), P(), P(),  # inertial/cam/bf/ext/refs
+            ),
+            out_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P()),
+            check_vma=False,
+        )(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
+          f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
+          R_cb, t_cb, bg_ref, ba_ref)
+
+    return _run
+
+
 def run_global_vi_ba_sharded(
     state: ms.MapState,
     inertial: vi_ba.VIInertialFactors,
@@ -499,38 +544,7 @@ def run_global_vi_ba_sharded(
 
     R_wb, p_wb = _body_states(state, R_cb, t_cb)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def _run(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
-             f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
-             R_cb, t_cb, bg_ref, ba_ref):
-        def body(R_wb, p_wb, vel, bg, ba, lm_loc, lm_fixed_loc, pose_fixed,
-                 f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
-                 R_cb, t_cb, bg_ref, ba_ref):
-            shard = jax.lax.axis_index(axis)
-            factors = vi_ba.VIReprojFactors(
-                f_pose, f_lm - shard * block, f_uvr, f_is2, f_valid)
-            x0 = (R_wb, p_wb, vel, bg, ba, lm_loc)
-            x, inlier = _vi_gba_solve(
-                x0, factors, inertial, pose_fixed, lm_fixed_loc,
-                bg_ref, ba_ref, cam, bf, R_cb, t_cb, cfg, axis=axis)
-            n_inl = jax.lax.psum(
-                jnp.sum((f_valid & inlier).astype(jnp.int32)), axis)
-            return x[0], x[1], x[2], x[3], x[4], x[5], inlier, n_inl
-
-        return shard_map(
-            body, mesh=mesh,
-            in_specs=(
-                P(), P(), P(), P(), P(),           # body states (replicated)
-                P(axis), P(axis),                  # lm block, lm_fixed block
-                P(),                               # pose_fixed
-                P(axis), P(axis), P(axis), P(axis), P(axis),  # factors
-                P(), P(), P(), P(), P(), P(), P(),  # inertial/cam/bf/ext/refs
-            ),
-            out_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P()),
-            check_vma=False,
-        )(R_wb, p_wb, vel, bg, ba, lm_pad, lm_fixed_pad, pose_fixed,
-          f_pose, f_lm, f_uvr, f_is2, f_valid, inertial, cam, bf,
-          R_cb, t_cb, bg_ref, ba_ref)
+    _run = _sharded_vi_gba_fn(mesh, axis, block, cfg)
 
     R_wb2, p_wb2, v2, bg2, ba2, lm2, _, n_inl = _run(
         R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba,

@@ -88,7 +88,8 @@ def _shard_step_cg(problem: ba_core.BAProblem, inlier, lam, cfg, axis: str):
     psum per CG iteration (the factor-side scatter partials) — bytes per
     iteration independent of L and F, and ~50x smaller than the dense path's
     (6P)^2 psum at P=256."""
-    Hpl_f, Hpp, Hll, bp, bl = ba_core._factor_blocks(problem, inlier, cfg)
+    Hpl_f, Hpp, Hll, bp, bl, _rho = ba_core._factor_blocks(
+        problem, inlier, cfg)
     Hpp = jax.lax.psum(Hpp, axis)
     bp = jax.lax.psum(bp, axis)
     Hpp_d, Hll_inv, lm_active, free = ba_core._damped_blocks(

@@ -29,6 +29,11 @@ def pad_database(desc: np.ndarray, valid: np.ndarray, n_shards: int):
     """Pad the database rows to a multiple of n_shards (invalid padding)."""
     D = desc.shape[0]
     Dp = ((D + n_shards - 1) // n_shards) * n_shards
+    if Dp >= 1 << 22:
+        raise ValueError(
+            f"database rows ({Dp}) exceed the 22-bit index budget of the "
+            "packed (dist<<22 | idx) winner reduction — shard the database "
+            "into <4M-row blocks")
     if Dp != D:
         desc = np.concatenate(
             [desc, np.zeros((Dp - D,) + desc.shape[1:], desc.dtype)])
@@ -53,6 +58,13 @@ def sharded_match(
     from jax import shard_map
 
     n_dev = mesh.shape[axis]
+    # trace-time guard: the packed (dist<<22 | global_idx) reduction below
+    # saturates int32 exactly at the 511 sentinel; one more index bit would
+    # silently corrupt winners (advisor round-4 finding)
+    if db_desc.shape[0] >= 1 << 22:
+        raise ValueError(
+            f"db_desc rows ({db_desc.shape[0]}) exceed the 22-bit packed-"
+            "index budget; split the database into <4M-row blocks")
     block = db_desc.shape[0] // n_dev
 
     def body(q, qv, d, dv):

@@ -1,10 +1,19 @@
-"""Per-sequence GT-trajectory ATE table -> ATE_r{N}.json (verdict item 9).
+"""Per-sequence GT-trajectory ATE table -> ATE_r{N}.json.
 
-Renders synthetic stereo imagery along the reference's own EuRoC ground-truth
+Renders synthetic imagery along the reference's own EuRoC ground-truth
 trajectories (evaluation/Ground_truth/EuRoC_left_cam) at the REAL camera rate
 (GT files are 20 Hz; stride 1 = the 20 fps real-time setting of
-Examples/Stereo-Inertial/EuRoC.yaml:47) and runs the production-config stereo
-tracker over >=200 frames per sequence.
+Examples/Stereo-Inertial/EuRoC.yaml:47) and runs production-config trackers
+over >=200 frames per sequence.
+
+Round-5 additions (verdict items 3 & 10):
+  * every stereo sequence also runs under the SensorNoise model
+    (noise + blur + exposure/vignette drift + occluders) — the `noise`
+    config block the round-4 verdict asked for; gate: noisy ATE within 2x
+    of clean;
+  * monocular rows (scale-corrected Horn ATE, the reference's mono mode of
+    evaluate_ate_scale.py) on three sequences;
+  * KB8 fisheye-stereo rows (TUM-VI-style rig) on two sequences.
 
 Usage: python scripts/ate_table.py [out.json] [n_frames]
 """
@@ -22,7 +31,7 @@ from orb_slam3_vio_fixes_tpu.utils import compile_cache
 compile_cache.enable()
 
 from orb_slam3_vio_fixes_tpu.evaluation import ate
-from orb_slam3_vio_fixes_tpu.frontend import tracking
+from orb_slam3_vio_fixes_tpu.frontend import mono_tracking, tracking
 from orb_slam3_vio_fixes_tpu.io import synthetic
 from orb_slam3_vio_fixes_tpu.ops import orb
 from orb_slam3_vio_fixes_tpu.slam_map import map_state as ms
@@ -31,62 +40,173 @@ from orb_slam3_vio_fixes_tpu.utils.cameras import Camera
 GT_DIR = "/root/reference/evaluation/Ground_truth/EuRoC_left_cam"
 SEQUENCES = ["MH01", "MH02", "MH03", "MH04", "MH05",
              "V101", "V102", "V103", "V201"]
+MONO_SEQUENCES = ["MH01", "V101", "V201"]
+FISHEYE_SEQUENCES = ["MH01", "V102"]
+
+NOISE = synthetic.DEFAULT_NOISE
 
 
-def run_sequence(name, n_frames=200, stride=1, n_features=1200, n_levels=8):
-    rng = np.random.default_rng(3)
-    seq = synthetic.make_gt_stereo_sequence(
-        rng, os.path.join(GT_DIR, f"{name}_GT.txt"), n_frames=n_frames,
-        stride=stride, h=480, w=752, fx=458.0, baseline=0.11, n_points=2000,
-        depth_range=(3.0, 14.0))
-    cfg = tracking.TrackerConfig(
+def _evaluate(tr, seq, wall, mode, name, with_scale=False):
+    est_ts = np.array([x[0] for x in tr.trajectory])
+    est_pos = np.array([-x[1].T @ x[2] for x in tr.trajectory])
+    rmse, scale, n_assoc = ate.ate_rmse(
+        seq.ts, seq.t_wc, est_ts, est_pos, with_scale=with_scale)
+    n = len(est_ts)
+    path = float(np.linalg.norm(np.diff(seq.t_wc, axis=0), axis=1).sum())
+    row = dict(sequence=name, mode=mode,
+               ate_rmse_m=round(float(rmse), 4),
+               n_frames=int(n), n_assoc=int(n_assoc),
+               path_m=round(path, 2),
+               drift_pct=round(100.0 * float(rmse) / max(path, 1e-9), 2),
+               state=tr.track_state, n_keyframes=len(tr.kf_order),
+               fps=round(n / wall, 1))
+    if with_scale:
+        row["scale"] = round(float(scale), 4)
+    return row
+
+
+def _stereo_cfg(n_features=1200, n_levels=8, w=752, h=480):
+    return tracking.TrackerConfig(
         orb=orb.ORBConfig(n_features=n_features, n_levels=n_levels),
         map=ms.MapConfig(max_keyframes=128, max_landmarks=32768,
                          max_features=n_features),
-        width=752, height=480, max_local_lm=2048, ba_window=6, ba_fixed=2,
+        width=w, height=h, max_local_lm=2048, ba_window=6, ba_fixed=2,
         new_lm_budget=256, max_frames_between_kf=20,
     )
+
+
+def run_stereo(name, n_frames=200, noisy=False):
+    rng = np.random.default_rng(3)
+    seq = synthetic.make_gt_stereo_sequence(
+        rng, os.path.join(GT_DIR, f"{name}_GT.txt"), n_frames=n_frames,
+        stride=1, h=480, w=752, fx=458.0, baseline=0.11, n_points=2000,
+        depth_range=(3.0, 14.0))
+    if noisy:
+        seq = synthetic.degrade_stereo(seq, np.random.default_rng(17), NOISE)
+    cfg = _stereo_cfg()
     cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
     tr = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg)
     tr.match_radius = (12.0, 24.0)
     t0 = time.perf_counter()
-    n = seq.imgs_l.shape[0]
+    for i in range(seq.imgs_l.shape[0]):
+        tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
+    tr.flush()
+    return _evaluate(tr, seq, time.perf_counter() - t0,
+                     "stereo_noise" if noisy else "stereo", name)
+
+
+def run_mono(name, n_frames=200, noisy=False):
+    rng = np.random.default_rng(3)
+    seq = synthetic.make_gt_stereo_sequence(
+        rng, os.path.join(GT_DIR, f"{name}_GT.txt"), n_frames=n_frames,
+        stride=1, h=480, w=752, fx=458.0, baseline=0.11, n_points=2400,
+        depth_range=(3.0, 14.0))
+    if noisy:
+        seq = synthetic.degrade_stereo(seq, np.random.default_rng(17), NOISE)
+    cfg = _stereo_cfg(n_features=1200)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = mono_tracking.MonocularTracker(cam, cfg)
+    t0 = time.perf_counter()
+    for i in range(seq.imgs_l.shape[0]):
+        tr.process_mono(seq.imgs_l[i], seq.ts[i])
+    tr.flush()
+    return _evaluate(tr, seq, time.perf_counter() - t0,
+                     "mono_noise" if noisy else "mono", name,
+                     with_scale=True)
+
+
+def run_fisheye(name, n_frames=200):
+    """KB8 fisheye-stereo along a GT trajectory (TUM-VI-style rig scaled to
+    the EuRoC scene; reference config analogue: Examples/Stereo-Inertial/
+    TUM-VI.yaml with Camera.type KannalaBrandt8)."""
+    import jax.numpy as jnp
+    from orb_slam3_vio_fixes_tpu.utils.cameras import project
+
+    h, w = 480, 752
+    fx = fy = 380.0
+    cx, cy = w / 2, h / 2
+    dist = (0.0034, 0.0007, -0.003, 0.0007)
+    baseline = 0.101
+    cam1 = Camera.kb8(fx, fy, cx, cy, *dist)
+    cam2 = Camera.kb8(fx, fy, cx, cy, *dist)
+    rng = np.random.default_rng(3)
+    ts, R_wc, t_wc = synthetic.load_gt_trajectory(
+        os.path.join(GT_DIR, f"{name}_GT.txt"), n_frames=n_frames, stride=1)
+    world = synthetic.make_world_along_trajectory(
+        rng, R_wc, t_wc, n_points=2000, depth_range=(3.0, 14.0))
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+    def proj(cam):
+        return lambda Xc: np.asarray(project(cam, jnp.asarray(Xc, jnp.float32)))
+
+    n = len(R_wc)
+    imgs_l = np.zeros((n, h, w), np.float32)
+    imgs_r = np.zeros((n, h, w), np.float32)
+    b_off = np.array([baseline, 0.0, 0.0], np.float32)
+    for i in range(n):
+        R_cw = R_wc[i].T
+        imgs_l[i] = synthetic.render(world, K, R_cw, -R_cw @ t_wc[i], h, w,
+                                     project_fn=proj(cam1))
+        C_r = t_wc[i] + R_wc[i] @ b_off
+        imgs_r[i] = synthetic.render(world, K, R_cw, -R_cw @ C_r, h, w,
+                                     project_fn=proj(cam2))
+    seq = synthetic.StereoSequence(imgs_l, imgs_r, ts, R_wc, t_wc, K,
+                                   baseline)
+    cfg = _stereo_cfg(n_features=1200, w=w, h=h)
+    R_12 = jnp.eye(3)
+    t_12 = jnp.asarray([baseline, 0.0, 0.0], jnp.float32)
+    tr = tracking.StereoTracker(
+        cam1, fx * baseline, cfg, rig=(cam2, R_12, t_12))
+    tr.match_radius = (12.0, 24.0)
+    t0 = time.perf_counter()
     for i in range(n):
         tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
     tr.flush()
-    wall = time.perf_counter() - t0
-    est_ts = np.array([x[0] for x in tr.trajectory])
-    est_pos = np.array([-x[1].T @ x[2] for x in tr.trajectory])
-    rmse, _, n_assoc = ate.ate_rmse(seq.ts, seq.t_wc, est_ts, est_pos)
-    path = float(np.linalg.norm(np.diff(seq.t_wc, axis=0), axis=1).sum())
-    return dict(sequence=name, ate_rmse_m=round(float(rmse), 4),
-                n_frames=int(n), n_assoc=int(n_assoc),
-                path_m=round(path, 2),
-                drift_pct=round(100.0 * float(rmse) / max(path, 1e-9), 2),
-                state=tr.track_state, n_keyframes=len(tr.kf_order),
-                fps=round(n / wall, 1))
+    return _evaluate(tr, seq, time.perf_counter() - t0, "fisheye_stereo",
+                     name)
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "ATE_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "ATE_r05.json"
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     rows = []
+
+    def add(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     for name in SEQUENCES:
-        p = os.path.join(GT_DIR, f"{name}_GT.txt")
-        if not os.path.isfile(p):
+        if not os.path.isfile(os.path.join(GT_DIR, f"{name}_GT.txt")):
             continue
-        r = run_sequence(name, n_frames=n_frames)
-        rows.append(r)
-        print(json.dumps(r), flush=True)
+        add(run_stereo(name, n_frames=n_frames))
+        add(run_stereo(name, n_frames=n_frames, noisy=True))
+    for name in MONO_SEQUENCES:
+        if not os.path.isfile(os.path.join(GT_DIR, f"{name}_GT.txt")):
+            continue
+        add(run_mono(name, n_frames=n_frames))
+    for name in FISHEYE_SEQUENCES:
+        if not os.path.isfile(os.path.join(GT_DIR, f"{name}_GT.txt")):
+            continue
+        add(run_fisheye(name, n_frames=n_frames))
+
+    def mean_of(mode):
+        v = [r["ate_rmse_m"] for r in rows if r["mode"] == mode]
+        return round(float(np.mean(v)), 4) if v else None
+
     summary = dict(
-        config="stereo, 1200 features, 8 levels, 752x480, stride 1 (20 fps)",
+        config="752x480, 1200 features, 8 levels, stride 1 (20 fps)",
+        noise=dict(NOISE._asdict()),
         n_frames=n_frames,
-        mean_ate_m=round(float(np.mean([r["ate_rmse_m"] for r in rows])), 4),
+        mean_ate_m=mean_of("stereo"),
+        mean_ate_noise_m=mean_of("stereo_noise"),
+        mean_ate_mono_m=mean_of("mono"),
+        mean_ate_fisheye_m=mean_of("fisheye_stereo"),
         sequences=rows,
     )
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"wrote {out_path}: mean ATE {summary['mean_ate_m']} m")
+    print(f"wrote {out_path}: mean stereo ATE {summary['mean_ate_m']} m, "
+          f"noisy {summary['mean_ate_noise_m']} m")
 
 
 if __name__ == "__main__":

@@ -75,10 +75,12 @@ def _vocab(seq, cfg):
     return voc.train(np.concatenate(pool), branching=10, depth=3, seed=0)
 
 
-def _run(seq, cfg, closer):
+def _run(seq, cfg, closer, pipelined=False, async_kf=False):
     cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
     tr = tracking.StereoTracker(cam, seq.K[0, 0] * seq.baseline, cfg,
                                 loop_closer=closer)
+    tr.pipelined = pipelined
+    tr.async_kf = async_kf
     for i in range(seq.imgs_l.shape[0]):
         tr.process_stereo(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i])
     est_ts = np.array([x[0] for x in tr.trajectory])
@@ -137,6 +139,48 @@ def _check_loop(seq):
 
 def test_loop_closure_improves_exported_ate(seq):
     _check_loop(seq)
+
+
+def test_loop_closure_pipelined_async(seq):
+    """A loop correction that fires from a DEFERRED keyframe-stage job
+    (pipelined + async_kf mode) must rebase the in-flight frame and the
+    next keyframe into the corrected world — the advisor's round-4 medium
+    finding was the rebase being silently overwritten by the pending
+    frame's stale pose, leaving the tracker offset by the full drift delta.
+
+    Gates: correction fires, tracking stays OK through and after it, the
+    revisit seam closes, and exported ATE improves vs loop-off — all in the
+    async mode that previously had zero loop coverage."""
+    cfg = _cfg(seq)
+    vocab = _vocab(seq, cfg)
+    inv_s2 = tracking.octave_inv_sigma2(cfg.orb)
+    tr_off, ate_off = _run(seq, cfg, None, pipelined=True, async_kf=True)
+    assert tr_off.track_state == tracking.TrackState.OK
+
+    lcfg = lc.LoopConfig(min_gap_kfs=8, n_consistency=2, fix_scale=True)
+    closer = lc.LoopCloser(
+        vocab, Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
+                              seq.K[1, 2]),
+        cfg.map.max_keyframes, inv_s2, lcfg,
+        bf=seq.K[0, 0] * seq.baseline,
+        n_levels=cfg.orb.n_levels, scale=cfg.orb.scale)
+    tr_on, ate_on = _run(seq, cfg, closer, pipelined=True, async_kf=True)
+    assert tr_on.track_state == tracking.TrackState.OK
+    assert closer.n_corrections >= 1, "loop never closed in async mode"
+    assert ate_on < ate_off, (
+        f"async loop closing did not improve exported ATE: "
+        f"{ate_off:.4f} -> {ate_on:.4f}")
+
+    def revisit_gap(tr):
+        C = np.array([-R.T @ t for _, R, t in tr.trajectory])
+        k = np.arange(N_FRAMES - 72)
+        return float(np.mean(np.linalg.norm(C[k + 72] - C[k], axis=1)))
+
+    gap_off = revisit_gap(tr_off)
+    gap_on = revisit_gap(tr_on)
+    assert gap_on < 0.8 * gap_off, (
+        f"async loop correction did not close the revisit seam: "
+        f"{gap_off:.4f} -> {gap_on:.4f}")
 
 
 @pytest.mark.slow
