@@ -119,8 +119,7 @@ def sad_subpixel(img_l, img_r, uv_l, ur0, valid):
     return jnp.where(ok, ur_out, -1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def build_stereo_frame(
+def build_stereo_frame_impl(
     img_l: jax.Array,
     img_r: jax.Array,
     ts: jax.Array,
@@ -156,6 +155,10 @@ def build_stereo_frame(
         octave=fl.octave, angle=fl.angle, desc=fl.desc, valid=fl.valid,
         ts=ts,
     )
+
+
+build_stereo_frame = functools.partial(jax.jit, static_argnames=("cfg",))(
+    build_stereo_frame_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -178,6 +178,83 @@ def vi_motion_opt(
     return cur2, new_obs, n_inl, next_H
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "icfg"))
+def vi_track_step(
+    state: ms.MapState,
+    prev_obs, prev_octave, prev_angle,
+    body: BodyState,
+    prior_H,
+    imu_window,                 # (S, 7) zero-padded samples since prev frame
+    frame: FrameData,
+    window_kfs,
+    cam: Camera, bf,
+    calib: pre.ImuCalib,
+    th_narrow, th_wide, th_local,
+    cfg: trk.TrackerConfig,
+    icfg: InertialConfig,
+):
+    """The whole post-init visual-inertial OK-path as ONE device program:
+    preintegration + IMU state prediction + motion-model matching (with the
+    widened retry as lax.cond) + joint VI motion-only optimization + local-
+    map widening + the second joint optimization + the velocity/decision
+    statistics. The split version dispatched ~10 programs and pulled 3-4
+    scalars per frame — at ~2.6 ms fixed per-program runtime cost on a
+    remote device that capped the inertial tracker at ~2 fps; fused it costs
+    one program + ONE packed pull like the visual track_step (the reference
+    pays the same per-frame costs inline on its tracking thread,
+    src/Tracking.cc:1874-2332).
+
+    Returns (cur_body, next_H, cur_obs, cur_pred, R_pred, t_pred, packed)
+    with packed = [R2(9), t2(3), n_m, n_inl2, close_tracked,
+    close_untracked, v(3)].
+    """
+    pre_frame = pre.integrate(imu_window, body.bg, body.ba, calib)
+    R2p, p2p, v2p = pre.predict_state(
+        body.R_wb, body.p_wb, body.v, body.bg, body.ba, pre_frame)
+    cur_pred = BodyState(R2p, p2p, v2p, body.bg, body.ba)
+    R_cb = calib.R_bc.T
+    t_cb = -calib.R_bc.T @ calib.t_bc
+    R_pred, t_pred = cam_from_body(R2p, p2p, R_cb, t_cb)
+
+    cur_obs0, n_m0 = trk.match_previous(
+        state, prev_obs, prev_octave, prev_angle, R_pred, t_pred, frame,
+        cam, bf, th_narrow, cfg)
+
+    def wide(_):
+        return trk.match_previous(
+            state, prev_obs, prev_octave, prev_angle, R_pred, t_pred, frame,
+            cam, bf, th_wide, cfg)
+
+    cur_obs, n_m = jax.lax.cond(
+        n_m0 < 20, wide, lambda _: (cur_obs0, n_m0), None)
+
+    cur_body, cur_obs, _, _ = vi_motion_opt(
+        state, body, prior_H, cur_pred, pre_frame, frame, cur_obs,
+        cam, bf, calib, cfg, icfg)
+    R1, t1 = cam_from_body(cur_body.R_wb, cur_body.p_wb, R_cb, t_cb)
+    _, _, cur_obs, _ = trk.track_local_map(
+        state, R1, t1, frame, cur_obs, window_kfs, cam, bf, th_local, cfg)
+    cur_body, cur_obs, n_inl2, next_H = vi_motion_opt(
+        state, body, prior_H, cur_body, pre_frame, frame, cur_obs,
+        cam, bf, calib, cfg, icfg)
+    R2, t2 = cam_from_body(cur_body.R_wb, cur_body.p_wb, R_cb, t_cb)
+
+    baseline = bf / cam.fx
+    close = ((frame.depth > 0)
+             & (frame.depth < cfg.th_depth_factor * baseline) & frame.valid)
+    tracked = cur_obs >= 0
+    packed = jnp.concatenate([
+        R2.reshape(-1), t2,
+        jnp.stack([
+            n_m.astype(jnp.float32), n_inl2.astype(jnp.float32),
+            jnp.sum(close & tracked).astype(jnp.float32),
+            jnp.sum(close & ~tracked).astype(jnp.float32),
+        ]),
+        cur_body.v,
+    ])
+    return cur_body, next_H, cur_obs, cur_pred, R_pred, t_pred, R2, t2, packed
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "icfg"), donate_argnums=(0,))
 def inertial_local_ba(
     state: ms.MapState,
@@ -427,6 +504,10 @@ class StereoInertialTracker(trk.StereoTracker):
         differ only in frame construction and visual initialization)."""
         cfg = self.cfg
         imu_np = np.asarray(imu_np, np.float32).reshape(-1, 7)
+        # host pose mirror: valid only when the previous frame went through
+        # the fused vi_track_step path (velocity model without device pulls)
+        prev_pose_np = getattr(self, "_pose_np", None)
+        self._pose_np = None
         if self.track_state == trk.TrackState.NOT_INITIALIZED:
             # keep buffering IMU across a (possibly multi-frame) visual init
             self.kf_imu_buf.extend(list(imu_np))
@@ -471,64 +552,48 @@ class StereoInertialTracker(trk.StereoTracker):
                 self._record(ts)
                 return np.asarray(self.R), np.asarray(self.t), self.track_state
         bg, ba = self.body.bg, self.body.ba
-        pre_frame = pre.integrate(self._pad_frame_imu(imu_np), bg, ba, self.calib)
-
-        # pose prediction
+        window = self._local_window()
+        packed_np = None
         if self.imu_ready:
-            R2, p2, v2 = pre.predict_state(
-                self.body.R_wb, self.body.p_wb, self.body.v, bg, ba, pre_frame)
-            cur_pred = BodyState(R2, p2, v2, bg, ba)
-            R_pred, t_pred = cam_from_body(
-                R2, p2, self.calib.R_bc.T, -self.calib.R_bc.T @ self.calib.t_bc)
-        elif self.vel is not None:
-            dR, dt = self.vel
-            R_pred = dR @ self.R
-            t_pred = dR @ self.t + dt
+            # whole per-frame VI path as ONE device program + ONE pull
+            # (see vi_track_step); matching radii come from
+            # self.match_radius like the visual tracker
+            _, (th_n, th_w, th_l) = self._th_tuple(self._local_search_th())
+            (cur_body, next_H, cur_obs, cur_pred, R_pred, t_pred, R2, t2,
+             packed) = vi_track_step(
+                self.state, self.prev_obs, self.prev_octave, self.prev_angle,
+                self.body, self.prior_H, self._pad_frame_imu(imu_np),
+                frame, window, self.cam, self.bf, self.calib,
+                th_n, th_w, th_l, cfg, self.icfg)
+            packed_np = np.asarray(packed)
+            n_inl2 = packed_np[13]
+            self._frame_stats = packed_np[12:16].astype(np.int64)
+            self.body = cur_body
+            self.prior_H = next_H
+            self.velocity_log.append(packed_np[16:19])
         else:
-            R_pred, t_pred = self.R, self.t
-
-        # motion-model matching radii come from self.match_radius like the
-        # visual tracker (previously hardcoded 7/14 px here, which silently
-        # ignored wider settings and lost tracking on fast yaw motion —
-        # the round-3 stereo-inertial loop e2e failure)
-        cur_obs, n_m = trk.match_previous(
-            self.state, self.prev_obs, self.prev_octave, self.prev_angle,
-            R_pred, t_pred, frame, self.cam, self.bf,
-            jnp.float32(self.match_radius[0]), cfg,
-        )
-        if int(n_m) < 20:
+            pre_frame = pre.integrate(
+                self._pad_frame_imu(imu_np), bg, ba, self.calib)
+            cur_pred = None
+            if self.vel is not None:
+                dR, dt = self.vel
+                R_pred = dR @ self.R
+                t_pred = dR @ self.t + dt
+            else:
+                R_pred, t_pred = self.R, self.t
             cur_obs, n_m = trk.match_previous(
                 self.state, self.prev_obs, self.prev_octave, self.prev_angle,
                 R_pred, t_pred, frame, self.cam, self.bf,
-                jnp.float32(self.match_radius[1]), cfg,
+                jnp.float32(self.match_radius[0]), cfg,
             )
-
-        if self.imu_ready:
-            # joint VI motion-only; then widen with the local map and re-run
-            cur_body, cur_obs, n_inl, next_H = vi_motion_opt(
-                self.state, self.body, self.prior_H, cur_pred, pre_frame,
-                frame, cur_obs, self.cam, self.bf, self.calib, cfg, self.icfg)
-            R1, t1 = cam_from_body(
-                cur_body.R_wb, cur_body.p_wb, self.calib.R_bc.T,
-                -self.calib.R_bc.T @ self.calib.t_bc)
-            window = self._local_window()
-            R2, t2, cur_obs, n_inl2 = trk.track_local_map(
-                self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-                jnp.float32(self._local_search_th()), cfg,
-            )
-            cur_body, cur_obs, n_inl2, next_H = vi_motion_opt(
-                self.state, self.body, self.prior_H, cur_body, pre_frame,
-                frame, cur_obs, self.cam, self.bf, self.calib, cfg, self.icfg)
-            R2, t2 = cam_from_body(
-                cur_body.R_wb, cur_body.p_wb, self.calib.R_bc.T,
-                -self.calib.R_bc.T @ self.calib.t_bc)
-            self.body = cur_body
-            self.prior_H = next_H
-            self.velocity_log.append(np.asarray(cur_body.v))
-        else:
+            if int(n_m) < 20:
+                cur_obs, n_m = trk.match_previous(
+                    self.state, self.prev_obs, self.prev_octave,
+                    self.prev_angle, R_pred, t_pred, frame, self.cam,
+                    self.bf, jnp.float32(self.match_radius[1]), cfg,
+                )
             R1, t1, cur_obs, n_inl = trk.pose_opt_from_obs(
                 self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg)
-            window = self._local_window()
             R2, t2, cur_obs, n_inl2 = trk.track_local_map(
                 self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
                 jnp.float32(self._local_search_th()), cfg,
@@ -558,6 +623,7 @@ class StereoInertialTracker(trk.StereoTracker):
             # recovery beats the starved motion-model attempt by far
             if n_f >= max(cfg.min_kf_inliers, 3 * max(n_inl2_i, 1)):
                 R2, t2, cur_obs = R2f, t2f, obs_f
+                packed_np = None      # fused pose superseded by the fallback
                 n_inl2_i = n_f
                 self.last_n_inliers = n_f
                 R_wb, p_wb = body_from_cam(
@@ -576,6 +642,26 @@ class StereoInertialTracker(trk.StereoTracker):
 
         self._lost_since = None
         self.track_state = trk.TrackState.OK
+        if packed_np is not None:
+            # host pose mirror from the single packed pull: velocity model,
+            # trajectory record, and the per-call return value all come from
+            # host math — no extra device pulls on the steady VI path
+            R2n = packed_np[:9].reshape(3, 3).astype(np.float64)
+            t2n = packed_np[9:12].astype(np.float64)
+            if prev_pose_np is not None:
+                dRn = (R2n @ prev_pose_np[0].T).astype(np.float32)
+                self.vel = (dRn, (t2n - dRn @ prev_pose_np[1]).astype(
+                    np.float32))
+            else:
+                self.vel = None
+            self._pose_np = (R2n, t2n)
+            self._set_frame(frame, R2, t2, cur_obs)
+            self.frames_since_kf += 1
+            need_kf = self._need_keyframe(frame, cur_obs, n_inl2_i)
+            if need_kf and not self.localization_only:
+                self._insert_keyframe_inertial(frame, R2, t2, cur_obs, ts)
+            self._record_np(ts, R2n, t2n)
+            return R2n, t2n, self.track_state
         dR = lie.so3_normalize(R2 @ self.R.T)
         dt = t2 - dR @ self.t
         self.vel = (dR, dt)
@@ -879,10 +965,17 @@ class StereoInertialTracker(trk.StereoTracker):
                 mesh, n_levels=self.cfg.orb.n_levels,
                 scale=self.cfg.orb.scale)
         else:
+            # compact to the live problem size (power-of-2 tiers bound the
+            # number of distinct compilations; see run_global_vi_ba)
+            N_feat = self.cfg.map.max_features
+            f_live = max(len(self.kf_order) * N_feat, 1024)
+            f_budget = 1 << int(np.ceil(np.log2(f_live)))
+            l_budget = 1 << int(np.ceil(np.log2(max(2 * self.n_lm, 1024))))
             self.state, _ = vg.run_global_vi_ba(
                 self.state, inertial, trk.octave_inv_sigma2(self.cfg.orb),
                 self.cam, self.bf, self.calib, jnp.asarray(pose_fixed),
-                n_levels=self.cfg.orb.n_levels, scale=self.cfg.orb.scale)
+                n_levels=self.cfg.orb.n_levels, scale=self.cfg.orb.scale,
+                f_budget=f_budget, lm_budget=l_budget)
 
     def _post_loop_gba(self, kf_id):
         """Inertial GBA after a loop correction = FullInertialBA over the

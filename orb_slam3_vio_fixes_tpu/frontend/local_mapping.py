@@ -87,8 +87,7 @@ class LocalMapConfig:
         return isinstance(other, LocalMapConfig) and self._key() == other._key()
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def create_new_landmarks(
+def create_new_landmarks_impl(
     state: ms.MapState,
     kf_id,             # scalar int32 — the newly inserted keyframe
     neighbor_ids,      # (W,) int32 covisible keyframe ids (-1 pad)
@@ -204,8 +203,12 @@ def create_new_landmarks(
     return state._replace(epoch=state.epoch + 1), n_lm - n0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def fuse_duplicates(
+create_new_landmarks = functools.partial(jax.jit, static_argnames=("cfg",),
+                                         donate_argnums=(0,))(
+    create_new_landmarks_impl)
+
+
+def fuse_duplicates_impl(
     state: ms.MapState,
     kf_id,
     neighbor_ids,      # (W,) int32
@@ -290,6 +293,10 @@ def fuse_duplicates(
         kf_obs=relabeled, lm_valid=lm_valid, epoch=state.epoch + 1
     )
     return ms.update_landmark_stats(state, cfg.n_levels, cfg.scale)
+
+
+fuse_duplicates = functools.partial(jax.jit, static_argnames=("cfg",),
+                                    donate_argnums=(0,))(fuse_duplicates_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_vio_fixes_tpu.frontend import local_mapping as lm_mod
-from orb_slam3_vio_fixes_tpu.frontend.frame import FrameData, build_stereo_frame
+from orb_slam3_vio_fixes_tpu.frontend.frame import (
+    FrameData, build_stereo_frame, build_stereo_frame_impl)
 from orb_slam3_vio_fixes_tpu.ops import image as image_ops
 from orb_slam3_vio_fixes_tpu.ops import matching, orb
 from orb_slam3_vio_fixes_tpu.optim import ba_core
@@ -73,13 +74,15 @@ class TrackerConfig(NamedTuple):
     # on the synthetic sprite imagery are unstable across views (measured
     # median 22 deg between true stereo pairs), so the histogram cuts true
     # matches — on real imagery with stable IC angles, enable it.
-    ba_factor_budget: int = 12288  # compacted factor rows in local BA (the
+    ba_factor_budget: int = 8192   # compacted factor rows in local BA (the
                                    # (W, N) table is ~2/3 padding; see
-                                   # local_ba's compaction)
-    ba_lm_budget: int = 4096       # landmark slots in the local-BA
+                                   # local_ba's compaction — live obs in a
+                                   # 24-KF window run ~4-6k; truncation is
+                                   # surfaced via ba_truncated)
+    ba_lm_budget: int = 3072       # landmark slots in the local-BA
     # sub-problem (distinct landmarks observable by the window; overflow
     # factors are dropped and counted in ba_truncated)
-    ba_cg_iters: int = 16          # CG iterations per local-BA LM step. The
+    ba_cg_iters: int = 12          # CG iterations per local-BA LM step. The
     # local window has <= (ba_window) x 6 = ~48 reduced-camera dims, so CG
     # converges far before the global solver's 40 (which stays at
     # ba_core.LMConfig's default for full-map GBA); 40 -> 16 cuts the
@@ -160,8 +163,7 @@ def match_previous(
     return cur_obs, jnp.sum(matched.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "has_vel"))
-def track_step(
+def track_step_impl(
     state: ms.MapState,
     prev_obs, prev_octave, prev_angle,
     R_prev, t_prev,
@@ -225,6 +227,38 @@ def track_step(
     dR_new = lie.so3_normalize(R2 @ R_prev.T)
     dt_new = t2 - dR_new @ t_prev
     return R2, t2, cur_obs, packed, R_pred, t_pred, dR_new, dt_new
+
+
+track_step = functools.partial(jax.jit, static_argnames=("cfg", "has_vel"))(
+    track_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_vel"))
+def build_and_track(
+    imgs,                   # (2, H, W) stacked L/R upload (uint8/uint16/f32)
+    ts,
+    state: ms.MapState,
+    prev_obs, prev_octave, prev_angle,
+    R_prev, t_prev,
+    dR_vel, dt_vel,
+    window_kfs,
+    cam: Camera, bf,
+    th_narrow, th_wide, th_local,
+    cfg: TrackerConfig,
+    has_vel: bool = False,
+):
+    """Fused per-frame device program: stereo frame construction + the whole
+    tracking step, ONE runtime call per frame (see kf_create_map on the
+    ~2.6 ms fixed per-program cost that motivates fusing; the stereo pair
+    also uploads as ONE stacked array for the same reason).
+
+    Returns (frame, track_step outputs)."""
+    frame = build_stereo_frame_impl(imgs[0], imgs[1], ts, cam, bf, cfg.orb)
+    outs = track_step_impl(
+        state, prev_obs, prev_octave, prev_angle, R_prev, t_prev,
+        dR_vel, dt_vel, frame, window_kfs, cam, bf,
+        th_narrow, th_wide, th_local, cfg, has_vel=has_vel)
+    return frame, outs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -372,8 +406,7 @@ def track_local_map(
     return R2, t2, cur_obs, n_inl
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spawn_all"), donate_argnums=(0,))
-def create_keyframe(
+def create_keyframe_impl(
     state: ms.MapState,
     kf_id, n_lm,
     frame: FrameData,
@@ -441,8 +474,44 @@ def create_keyframe(
     return state, jnp.sum(is_new.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def select_ba_window(
+create_keyframe = functools.partial(
+    jax.jit, static_argnames=("cfg", "spawn_all"), donate_argnums=(0,))(
+    create_keyframe_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lcfg"),
+                   donate_argnums=(0,))
+def kf_create_map(
+    state: ms.MapState,
+    kf_id, n_lm,
+    frame: FrameData,
+    R, t, cur_obs,
+    prev_kf_id,
+    neighbor_ids,
+    cam: Camera, bf,
+    cfg: TrackerConfig,
+    lcfg,
+):
+    """Fused keyframe-rate mapping program: keyframe insertion + close-stereo
+    landmark spawning + epipolar triangulation + duplicate fusion as ONE
+    device program (reference pipeline order src/LocalMapping.cc:83-250 run
+    by the mapping thread). Fusing matters on a remote-device runtime: each
+    state-carrying program call costs ~2.6 ms of fixed host/runtime overhead
+    (26-leaf pytree in and out), so three calls -> one saves ~5 ms per
+    keyframe before any XLA-level fusion wins.
+
+    Returns (state, n_lm_after).
+    """
+    state, n_created = create_keyframe_impl(
+        state, kf_id, n_lm, frame, R, t, cur_obs, prev_kf_id, cam, bf, cfg)
+    n_after = n_lm + n_created
+    state, n_tri = lm_mod.create_new_landmarks_impl(
+        state, kf_id, neighbor_ids, n_after, cam, bf, lcfg)
+    state = lm_mod.fuse_duplicates_impl(state, kf_id, neighbor_ids, cam, lcfg)
+    return state, n_after + n_tri
+
+
+def select_ba_window_impl(
     state: ms.MapState,
     cur,            # scalar int32 — the newest keyframe slot
     first,          # scalar int32 — the map's first live keyframe (gauge)
@@ -480,8 +549,11 @@ def select_ba_window(
     return adj, fixed
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def local_ba(
+select_ba_window = functools.partial(jax.jit, static_argnames=("cfg",))(
+    select_ba_window_impl)
+
+
+def local_ba_impl(
     state: ms.MapState,
     adj_kfs: jax.Array,     # (W,) adjustable keyframe ids (-1 pad)
     fixed_kfs: jax.Array,   # (Wf,) fixed keyframe ids (-1 pad)
@@ -595,6 +667,24 @@ def local_ba(
     return state, n_trunc
 
 
+local_ba = functools.partial(jax.jit, static_argnames=("cfg",),
+                             donate_argnums=(0,))(local_ba_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def kf_ba_stage(
+    state: ms.MapState,
+    cur, first,
+    cam: Camera, bf,
+    cfg: TrackerConfig,
+):
+    """Fused covisibility-window selection + local BA — one device program
+    per keyframe instead of two (see kf_create_map on why call count
+    matters). Returns (state, n_truncated)."""
+    adj, fixed = select_ba_window_impl(state, cur, first, cfg)
+    return local_ba_impl(state, adj, fixed, cam, bf, cfg)
+
+
 # ---------------------------------------------------------------------------
 # host-side tracker
 # ---------------------------------------------------------------------------
@@ -684,7 +774,6 @@ class StereoTracker:
         self.pipelined = False
         self._pending = None
         self._last_pose = (np.eye(3), np.zeros(3))
-        self._vel_candidate = None
         # asynchronous keyframe-rate work (see _insert_keyframe): stages run
         # as bounded jobs, one per frame gap, instead of inline — the
         # reference's LocalMapping/LoopClosing threads expressed for a
@@ -782,6 +871,8 @@ class StereoTracker:
     def _build_stereo(self, img_l, img_r, ts: float):
         """Stereo frame construction: rectified row matching, or two-camera
         ray triangulation when a fisheye rig is present."""
+        if isinstance(img_l, jax.Array) and img_l.ndim == 3:
+            img_l, img_r = img_l[0], img_l[1]   # stacked pair upload
         if self.rig is not None:
             from orb_slam3_vio_fixes_tpu.frontend.frame import (
                 build_fisheye_stereo_frame)
@@ -796,8 +887,32 @@ class StereoTracker:
             jnp.float32(ts), self.cam, self.bf, self.cfg.orb,
         )
 
+    def _upload_pair(self, img_l, img_r):
+        """Stack + upload a stereo pair as ONE (2, H, W) device array — one
+        runtime op instead of two (the per-op fixed cost on a remote-device
+        runtime outweighs the stack). Host floats quantize to uint8 first
+        (see _upload_image)."""
+        if isinstance(img_l, jax.Array) and img_l.ndim == 3:
+            return img_l      # already a stacked pair
+        if isinstance(img_l, jax.Array) or isinstance(img_r, jax.Array):
+            return jnp.stack([self._upload_image(img_l),
+                              self._upload_image(img_r)])
+        a, b = np.asarray(img_l), np.asarray(img_r)
+        if a.dtype != np.uint8:
+            a = np.clip(np.rint(a), 0, 255).astype(np.uint8)
+            b = np.clip(np.rint(b), 0, 255).astype(np.uint8)
+        return jnp.asarray(np.stack([a, b]))
+
     def process_stereo(self, img_l, img_r, ts: float):
         t0 = time.perf_counter() if self.times is not None else 0.0
+        if (self.pipelined and self.rig is None and self._pending is not None
+                and self.track_state == TrackState.OK):
+            # fused build+track speculative dispatch: one device program and
+            # one upload per frame (img_l may already be a stacked pair)
+            imgs = self._upload_pair(img_l, img_r)
+            frame, spec = self._dispatch_build_track(imgs, ts)
+            self._mark("track.1_frame_build", t0, frame.desc)
+            return self.process_frame(frame, ts, spec=spec)
         frame = self._build_stereo(img_l, img_r, ts)
         self._mark("track.1_frame_build", t0, frame.desc)
         return self.process_frame(frame, ts)
@@ -824,15 +939,95 @@ class StereoTracker:
         if drain_jobs:
             self._drain_kf_jobs()
 
-    def process_frame(self, frame: FrameData, ts: float):
+    def _th_tuple(self, th_local: float):
+        """Memoized device scalars for the three search radii."""
+        key = (self.match_radius[0], self.match_radius[1], th_local)
+        cached = getattr(self, "_th_cache", None)
+        if cached is None or cached[0] != key:
+            self._th_cache = (key, tuple(jnp.float32(v) for v in key))
+        return key, self._th_cache[1]
+
+    def _dispatch_track(self, frame: FrameData, state, prev_obs, prev_octave,
+                        prev_angle, R, t, vel, window, th_local: float):
+        """Dispatch the per-frame device program and return
+        (inputs_key, outputs). inputs_key identifies the exact input OBJECTS
+        so a speculative dispatch can later be validated against what the
+        sequential decision order actually requires (see process_frame)."""
+        has_vel = vel is not None
+        dR, dt = vel if has_vel else (self._EYE3, self._ZERO3)
+        th_key, (th_n, th_w, th_l) = self._th_tuple(th_local)
+        outs = track_step(
+            state, prev_obs, prev_octave, prev_angle, R, t, dR, dt, frame,
+            window, self.cam, self.bf, th_n, th_w, th_l, self.cfg,
+            has_vel=has_vel,
+        )
+        # start the device->host transfer of the decision scalars NOW: by
+        # finalize time the bytes are usually already on the host, so the
+        # pull costs ~0 instead of a tunnel RTT
+        try:
+            outs[3].copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        key = (id(state), id(prev_obs), id(prev_octave), id(prev_angle),
+               id(R), id(t),
+               (id(dR), id(dt)) if has_vel else None,
+               id(window), th_key, self._corr_epoch)
+        return key, outs
+
+    def _spec_inputs(self):
+        """The speculative-dispatch inputs for the NEXT frame, drawn from the
+        pending (in-flight) frame's device-side outputs."""
+        p = self._pending
+        return (self.state, p[4], p[0].octave, p[0].angle, p[2], p[3],
+                p[10], self._local_window(),
+                self.th_local_base if self.frames_since_reloc >= 1 else 2.0)
+
+    def _dispatch_build_track(self, imgs, ts: float):
+        """Fused build+track speculative dispatch (see build_and_track).
+        Returns (frame, (inputs_key, outputs))."""
+        (state, prev_obs, prev_octave, prev_angle, R, t, vel, window,
+         th_local) = self._spec_inputs()
+        dR, dt = vel if vel is not None else (self._EYE3, self._ZERO3)
+        th_key, (th_n, th_w, th_l) = self._th_tuple(th_local)
+        frame, outs = build_and_track(
+            imgs, np.float32(ts), state, prev_obs, prev_octave, prev_angle,
+            R, t, dR, dt, window, self.cam, self.bf, th_n, th_w, th_l,
+            self.cfg, has_vel=vel is not None)
+        try:
+            outs[3].copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        key = (id(state), id(prev_obs), id(prev_octave), id(prev_angle),
+               id(R), id(t),
+               (id(dR), id(dt)) if vel is not None else None,
+               id(window), th_key, self._corr_epoch)
+        return frame, (key, outs)
+
+    def process_frame(self, frame: FrameData, ts: float, spec=None):
         cfg = self.cfg
-        # finalize the previous pipelined frame FIRST: its decisions
-        # (fallback, lost transition, keyframe insert) must land before this
-        # frame's tracking is dispatched — same order as sync mode
+        # SPECULATIVE DISPATCH (pipelined steady state): this frame's device
+        # program is dispatched BEFORE the previous frame's sync+decisions,
+        # from the previous dispatch's device-side outputs (pose, bindings,
+        # velocity candidate) — so the device never idles while the host
+        # blocks on the previous frame's result. After finalize, the
+        # speculation is validated by INPUT OBJECT IDENTITY against what the
+        # sequential decision order mandates; any deviation (reference-KF
+        # fallback, lost transition, keyframe insertion, loop correction,
+        # search-radius change) re-dispatches with the true inputs, so the
+        # result stream is bit-identical to sync mode. The reference hides
+        # the same latency with its LocalMapping thread (src/System.cc:194);
+        # on an in-order device queue, keeping the queue non-empty is the
+        # equivalent.
+        if (spec is None and self.pipelined and self._pending is not None
+                and self.track_state == TrackState.OK):
+            spec = self._dispatch_track(frame, *self._spec_inputs())
+        # finalize the previous pipelined frame: its decisions (fallback,
+        # lost transition, keyframe insert) land before this frame's result
+        # is accepted — same order as sync mode
         self.flush(drain_jobs=False)
         # any still-unconsumed correction delta is obsolete from here on:
-        # the dispatch below reads self.R/self.t/self.state, which are
-        # mutually consistent (corrections rebase them at fire time)
+        # the paths below read self.R/self.t/self.state, which are mutually
+        # consistent (corrections rebase them at fire time)
         self._corr_delta = None
         if self.track_state == TrackState.NOT_INITIALIZED:
             ok = self._initialize(frame)
@@ -872,22 +1067,28 @@ class StereoTracker:
         t0 = time.perf_counter() if self.times is not None else 0.0
         self.frames_since_reloc += 1
         window = self._local_window()
-        has_vel = self.vel is not None
-        dR, dt = self.vel if has_vel else (self._EYE3, self._ZERO3)
-        # scalar radii are memoized: each jnp.float32() is a device_put
-        key = (self.match_radius[0], self.match_radius[1],
-               self._local_search_th())
-        cached = getattr(self, "_th_cache", None)
-        if cached is None or cached[0] != key:
-            self._th_cache = (key, tuple(jnp.float32(v) for v in key))
-        th_n, th_w, th_l = self._th_cache[1]
-        (R2, t2, cur_obs, packed, R_pred, t_pred, dR_new,
-         dt_new) = track_step(
-            self.state, self.prev_obs, self.prev_octave, self.prev_angle,
-            self.R, self.t, dR, dt, frame, window, self.cam, self.bf,
-            th_n, th_w, th_l, cfg, has_vel=has_vel,
-        )
-        self._vel_candidate = (dR_new, dt_new)
+        # validate the speculative dispatch: reuse its outputs ONLY when the
+        # inputs the sequential decision order mandates are the exact same
+        # objects it consumed (fallback / keyframe insertion / correction /
+        # radius changes all swap at least one of them)
+        actual_key = (id(self.state), id(self.prev_obs),
+                      id(self.prev_octave), id(self.prev_angle),
+                      id(self.R), id(self.t),
+                      (id(self.vel[0]), id(self.vel[1]))
+                      if self.vel is not None else None,
+                      id(window),
+                      (self.match_radius[0], self.match_radius[1],
+                       self._local_search_th()),
+                      self._corr_epoch)
+        if spec is not None and spec[0] == actual_key:
+            outs = spec[1]
+        else:
+            _, outs = self._dispatch_track(
+                frame, self.state, self.prev_obs, self.prev_octave,
+                self.prev_angle, self.R, self.t, self.vel, window,
+                self._local_search_th())
+        (R2, t2, cur_obs, packed, R_pred, t_pred, dR_new, dt_new) = outs
+        vel_cand = (dR_new, dt_new)
         self._mark("track.2_track_step", t0, packed)
         if self.pipelined:
             # Software pipelining: defer the device->host sync (and every
@@ -898,17 +1099,20 @@ class StereoTracker:
             # thread, src/System.cc:194-237; on an async device the tracker
             # itself can be the overlapped stage).
             self._pending = (frame, ts, R2, t2, cur_obs, packed,
-                             R_pred, t_pred, window, self._corr_epoch)
+                             R_pred, t_pred, window, self._corr_epoch,
+                             vel_cand)
             # one bounded keyframe-stage job rides this frame gap (async_kf)
             self._run_kf_job()
             return self._last_pose + (self.track_state,)
         out = self._finalize_track(frame, ts, R2, t2, cur_obs, packed,
-                                   R_pred, t_pred, window, self._corr_epoch)
+                                   R_pred, t_pred, window, self._corr_epoch,
+                                   vel_cand)
         self._run_kf_job()
         return out
 
     def _finalize_track(self, frame, ts, R2, t2, cur_obs, packed,
-                        R_pred, t_pred, window, dispatch_epoch=None):
+                        R_pred, t_pred, window, dispatch_epoch=None,
+                        vel_cand=None):
         """Sync the tracking result and run every host decision for the
         frame: fallback matching, lost handling, velocity/bookkeeping,
         keyframe insertion, trajectory record."""
@@ -976,12 +1180,12 @@ class StereoTracker:
         # change, src/Tracking.cc:1890-1896)
         if corrected_in_flight:
             self.vel = None
-        elif fell_back or self._vel_candidate is None:
+        elif fell_back or vel_cand is None:
             dR = lie.so3_normalize(R2 @ self.R.T)
             dt = t2 - dR @ self.t
             self.vel = (dR, dt)
         else:
-            self.vel = self._vel_candidate
+            self.vel = vel_cand
         self._set_frame(frame, R2, t2, cur_obs)
         self.frames_since_kf += 1
 
@@ -1320,17 +1524,22 @@ class StereoTracker:
             self._free_kf_slots.pop(0)
             self._kf_created_reused += 1
         prev_kf = self.kf_order[-1] if self.kf_order else -1
-        # landmark counter flows as a DEVICE scalar through the mapping
-        # stages (create -> triangulate); one host pull at the end instead of
-        # one per stage — each sync is a full RTT on a remote-TPU link
-        n_lm_dev = jnp.int32(self.n_lm)
-        self.state, n_created = create_keyframe(
-            self.state, jnp.int32(kf_id), n_lm_dev, frame, R, t,
-            cur_obs, jnp.int32(prev_kf), self.cam, self.bf, self.cfg,
+        # triangulation neighbors: the most recent live keyframes (computed
+        # before this one joins the order)
+        lcfg = self._lm_cfg()
+        neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
+        for i, kk in enumerate(self.kf_order[::-1][: lcfg.n_neighbors]):
+            neighbors[i] = kk
+        # ONE fused device program: keyframe insertion + stereo spawning +
+        # epipolar triangulation + duplicate fusion; the landmark counter
+        # flows as a DEVICE scalar (one host pull at stage_finalize)
+        self.state, self._kf_nlm_dev = kf_create_map(
+            self.state, jnp.int32(kf_id), jnp.int32(self.n_lm), frame, R, t,
+            cur_obs, jnp.int32(prev_kf), jnp.asarray(neighbors),
+            self.cam, self.bf, self.cfg, lcfg,
         )
-        self._kf_nlm_dev = n_lm_dev + n_created
         if prof:
-            t0 = self._mark("kf.1_create", t0, n_created)
+            t0 = self._mark("kf.1_create_map", t0, self._kf_nlm_dev)
         if kf_id == self.n_kf:
             self.n_kf += 1          # fresh slot moved the high-water mark
         self.kf_order.append(kf_id)
@@ -1340,20 +1549,15 @@ class StereoTracker:
         if self.async_kf:
             self._refresh_ref_pose(kf_id, (np.asarray(R, np.float64),
                                            np.asarray(t, np.float64)))
-            self._kf_jobs.append(lambda: self._kf_stage_map(kf_id))
-            # ONE local-BA job with all chi2 rounds inside: per-call fixed
-            # costs (factor build, compaction, Schur structure) dominate a
-            # 3-iteration round, so two 1-round jobs cost ~40% more device
-            # time than one 2-round job for the same math
-            self._kf_jobs.append(
-                functools.partial(self._kf_stage_ba, kf_id,
-                                  self.cfg.ba_rounds))
+            # ONE local-BA job with window selection and all chi2 rounds
+            # inside: per-call fixed costs (runtime overhead, factor build,
+            # compaction, Schur structure) dominate the extra iterations
+            self._kf_jobs.append(functools.partial(self._kf_stage_ba, kf_id))
             self._kf_jobs.append(
                 functools.partial(self._kf_stage_cull, kf_id, seq))
             self._kf_jobs.append(lambda: self._kf_stage_finalize(kf_id))
             return kf_id
-        self._kf_stage_map(kf_id, prof=prof)
-        self._kf_stage_ba(kf_id, n_rounds=self.cfg.ba_rounds, prof=prof)
+        self._kf_stage_ba(kf_id, prof=prof)
         self._kf_stage_cull(kf_id, seq, prof=prof)
         self._kf_stage_finalize(kf_id, prof=prof)
         return kf_id
@@ -1373,48 +1577,14 @@ class StereoTracker:
         while self._kf_jobs:
             self._kf_jobs.popleft()()
 
-    def _kf_stage_map(self, kf_id, prof=False):
-        """Triangulate new landmarks + fuse duplicates (reference:
-        CreateNewMapPoints + SearchInNeighbors, src/LocalMapping.cc:388,714)."""
+    def _kf_stage_ba(self, kf_id, prof=False):
+        """Covisibility-window local BA with all chi2 rounds, as one fused
+        device program (reference: LocalBundleAdjustment run by the mapping
+        thread, src/Optimizer.cc:1116-1499)."""
         t0 = time.perf_counter() if prof else 0.0
-        lcfg = self._lm_cfg()
-        neighbors = np.full(lcfg.n_neighbors, -1, np.int32)
-        prev_live = [k for k in self.kf_order if k != kf_id][::-1]
-        for i, k in enumerate(prev_live[: lcfg.n_neighbors]):
-            neighbors[i] = k
-        self.state, n_tri = lm_mod.create_new_landmarks(
-            self.state, jnp.int32(kf_id), jnp.asarray(neighbors),
-            self._kf_nlm_dev, self.cam, self.bf, lcfg,
-        )
-        self._kf_nlm_dev = self._kf_nlm_dev + n_tri
-        if prof:
-            t0 = self._mark("kf.2_triangulate", t0, n_tri)
-        self.state = lm_mod.fuse_duplicates(
-            self.state, jnp.int32(kf_id), jnp.asarray(neighbors), self.cam, lcfg
-        )
-        if prof:
-            self._mark("kf.3_fuse", t0, self.state.kf_obs)
-
-    def _kf_stage_ba(self, kf_id, n_rounds=1, prof=False):
-        """One (or n_rounds) chi2-gated local-BA round(s); in async mode each
-        round is its own bounded job (the reference's interruptible-BA
-        granularity, src/LocalMapping.cc:288)."""
-        t0 = time.perf_counter() if prof else 0.0
-        # the covisibility window is selected ONCE per keyframe and reused by
-        # the later BA rounds (the reference's LBA also fixes its window up
-        # front, src/Optimizer.cc:1116-1130); recomputing costs a (K,N)
-        # scatter + (K,K) matmul per round
-        cached = getattr(self, "_ba_window_cache", None)
-        if cached is not None and cached[0] == kf_id:
-            adj, fixed = cached[1]
-        else:
-            adj, fixed = self._ba_window(kf_id)
-            self._ba_window_cache = (kf_id, (adj, fixed))
-        if prof:
-            t0 = self._mark("kf.4_ba_window", t0, fixed)
-        cfg = self.cfg._replace(ba_rounds=n_rounds)
-        self.state, n_tr = local_ba(self.state, adj, fixed, self.cam,
-                                    self.bf, cfg)
+        self.state, n_tr = kf_ba_stage(
+            self.state, jnp.int32(kf_id), jnp.int32(self.kf_order[0]),
+            self.cam, self.bf, self.cfg)
         self.ba_truncated = self.ba_truncated + n_tr
         if prof:
             self._mark("kf.5_local_ba", t0, self.state.lm_pos)

@@ -363,7 +363,9 @@ def _vi_gba_solve(x, factors: vi_ba.VIReprojFactors,
     return x, inlier
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_levels", "scale"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_levels", "scale", "f_budget",
+                                    "lm_budget"),
                    donate_argnums=(0,))
 def run_global_vi_ba(
     state: ms.MapState,
@@ -376,12 +378,23 @@ def run_global_vi_ba(
     cfg: VIGBAConfig = VIGBAConfig(),
     n_levels: int = 8,
     scale: float = 1.2,
+    f_budget: int | None = None,
+    lm_budget: int | None = None,
 ):
     """Joint 15-DoF keyframe + landmark optimization over the whole map.
 
     Returns (state', n_inlier_factors). The caller controls which keyframes
     adjust via pose_fixed_in — all-free = FullInertialBA; welding-window-free
-    = MergeInertialBA (src/Optimizer.cc:3956)."""
+    = MergeInertialBA (src/Optimizer.cc:3956).
+
+    f_budget / lm_budget (static; callers tier them to powers of two of the
+    LIVE counts) compact the factor table and landmark axis before the LM/CG
+    loop: at map capacity the padded table is K*N rows, but a young map has
+    10-20x fewer live observations — the post-IMU-init FullInertialBA
+    (reference src/LocalMapping.cc:1304) runs on a ~10-KF map and measured
+    ~13 s at the 256-KF/32k-LM tier without compaction."""
+    from orb_slam3_vio_fixes_tpu.optim import ba_core
+
     K, N = state.kf_obs.shape
     L = state.lm_pos.shape[0]
     R_cb = calib.R_bc.T
@@ -392,32 +405,68 @@ def run_global_vi_ba(
         state, window, inv_sigma2_oct)
     n_obs = ms.landmark_obs_count(state)
     valid = valid & (n_obs[lm_idx] >= 2)
-    factors = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
+    F_full = pose_idx.shape[0]
+    order = None
+    if f_budget is not None and f_budget < F_full:
+        order, order_ok = ba_core.compact_indices(valid, f_budget)
+        pose_idx, lm_idx = pose_idx[order], lm_idx[order]
+        uvr, inv_s2 = uvr[order], inv_s2[order]
+        valid = valid[order] & order_ok
     pose_fixed = pose_fixed_in | ~state.kf_valid
-    lm_fixed = (n_obs < 2) | ~state.lm_valid
+    lm_fixed_full = (n_obs < 2) | ~state.lm_valid
+    sub_idx = None
+    if lm_budget is not None and lm_budget < L:
+        used = jnp.zeros(L, bool).at[jnp.clip(lm_idx, 0, L - 1)].max(valid)
+        sub_idx, sub_ok = ba_core.compact_indices(used, lm_budget)
+        remap = jnp.full(L + 1, -1, jnp.int32).at[
+            jnp.where(sub_ok, sub_idx, L)].set(
+            jnp.arange(lm_budget, dtype=jnp.int32))[:L]
+        lm_local = remap[jnp.clip(lm_idx, 0, L - 1)]
+        valid = valid & (lm_local >= 0)
+        lm_idx = jnp.clip(lm_local, 0, lm_budget - 1)
+        lm_fixed = lm_fixed_full[sub_idx] | ~sub_ok
+        lm0 = state.lm_pos[sub_idx]
+    else:
+        lm_fixed = lm_fixed_full
+        lm0 = state.lm_pos
+    factors = vi_ba.VIReprojFactors(pose_idx, lm_idx, uvr, inv_s2, valid)
 
     R_wb, p_wb = _body_states(state, R_cb, t_cb)
-    x = (R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba, state.lm_pos)
+    x = (R_wb, p_wb, state.kf_vel, state.kf_bg, state.kf_ba, lm0)
     x, inlier = _vi_gba_solve(
         x, factors, inertial, pose_fixed, lm_fixed,
         state.kf_bg, state.kf_ba, cam, bf, R_cb, t_cb, cfg)
     R_wb, p_wb, v, bg, ba, lm = x
     kf_R, kf_t = _cam_states(R_wb, p_wb, R_cb, t_cb)
     upd = state.kf_valid & ~pose_fixed
+    if sub_idx is not None:
+        lm_write = jnp.where(lm_fixed[:, None], state.lm_pos[sub_idx], lm)
+        new_lm_pos = state.lm_pos.at[sub_idx].set(lm_write)
+    else:
+        new_lm_pos = jnp.where(lm_fixed[:, None], state.lm_pos, lm)
     new_state = state._replace(
         kf_R=jnp.where(upd[:, None, None], kf_R, state.kf_R),
         kf_t=jnp.where(upd[:, None], kf_t, state.kf_t),
         kf_vel=jnp.where(upd[:, None], v, state.kf_vel),
         kf_bg=jnp.where(upd[:, None], bg, state.kf_bg),
         kf_ba=jnp.where(upd[:, None], ba, state.kf_ba),
-        lm_pos=jnp.where(lm_fixed[:, None], state.lm_pos, lm),
+        lm_pos=new_lm_pos,
         epoch=state.epoch + 1,
     )
-    drop = (valid & ~inlier).reshape(K, N)
+    n_inl = jnp.sum((valid & inlier).astype(jnp.int32))
+    if order is not None:
+        # un-compact the outlier mask back to the (K*N) table layout
+        inlier_full = jnp.ones(F_full + 1, bool).at[
+            jnp.where(order_ok, order, F_full)].set(inlier | ~valid)[:F_full]
+        valid_full = jnp.zeros(F_full + 1, bool).at[
+            jnp.where(order_ok, order, F_full)].set(valid)[:F_full]
+        drop = (valid_full & ~inlier_full).reshape(K, N)
+    else:
+        drop = (valid & ~inlier).reshape(K, N)
     new_state = new_state._replace(
         kf_obs=jnp.where(drop, -1, new_state.kf_obs))
     new_state = ms.update_landmark_stats(new_state, n_levels, scale)
-    return new_state, jnp.sum((valid & inlier).astype(jnp.int32))
+    return new_state, n_inl
 
 
 @functools.lru_cache(maxsize=None)

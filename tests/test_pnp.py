@@ -75,3 +75,40 @@ def test_pnp_outliers_and_noise():
     assert int(res.n_inliers) > 0.8 * (n - n_out)
     assert np.allclose(np.asarray(res.R), R, atol=5e-2)
     assert np.allclose(np.asarray(res.t), t, atol=0.15)
+
+
+def test_mlpnp_gn_beats_minimal_dlt_under_noise():
+    """The ML layer (bearing-space covariance-weighted GN over the top
+    hypotheses — reference: mlpnp_gn src/MLPnPsolver.cpp:694) must recover a
+    near-optimal pose from noisy observations, far tighter than any single
+    6-point DLT hypothesis can (minimal-set DLT error scales with the noise
+    of its 6 points; the GN uses ALL inliers)."""
+    rng = np.random.default_rng(3)
+    cam, X, uv, R, t, n_out = make_problem(rng, outlier_frac=0.2, noise=1.5)
+    n = X.shape[0]
+    # information from the known pixel sigma (the reference feeds octave
+    # sigma^2 the same way, src/Tracking.cc:3660-3684)
+    res = pnp.pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(uv),
+        jnp.ones(n, bool), jnp.full(n, 1.0 / 1.5**2), cam)
+    assert bool(res.success)
+    assert int(res.n_inliers) > 0.6 * (n - n_out)
+    # all-inlier ML refinement: rotation to ~3e-3 rad, translation to <8 cm
+    # at 1.5 px noise (a raw 6-pt DLT hypothesis at this noise is ~10x worse
+    # — the pre-refinement pose regularly misses by >0.2 rotation-equivalent)
+    dR = np.asarray(res.R) @ R.T
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert ang < 5e-3, f"rotation error {ang}"
+    assert np.linalg.norm(np.asarray(res.t) - t) < 0.08
+
+
+def test_mlpnp_tangent_basis_orthonormal():
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(64, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r, s = pnp.bearing_tangent_basis(jnp.asarray(v))
+    r, s = np.asarray(r), np.asarray(s)
+    assert np.abs((r * v).sum(1)).max() < 1e-5
+    assert np.abs((s * v).sum(1)).max() < 1e-5
+    assert np.abs((r * s).sum(1)).max() < 1e-5
+    assert np.abs(np.linalg.norm(r, axis=1) - 1).max() < 1e-5
