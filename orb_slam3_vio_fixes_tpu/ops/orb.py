@@ -34,13 +34,13 @@ from orb_slam3_vio_fixes_tpu.ops import image as image_ops
 
 HALF_PATCH = 15          # orientation patch radius (31x31 patch)
 # Gather radius: the rotated BRIEF offsets reach 15*sqrt2 ~ 21.2 in the worst
-# corner case, but the Gaussian pair scheme (sigma = S/5) puts ~98% of sample
-# radii under 18; offsets beyond the patch edge CLAMP to it. 18 instead of 22
-# shrinks the dominant per-keypoint patch gather (45x45 -> 37x37 = 33% fewer
-# row segments) for a ~2% clamped-sample rate — measured no change on the
-# descriptor-matching tests.
-PATCH_R = 18
-PATCH = 2 * PATCH_R + 1  # 37
+# corner case, but the Gaussian pair scheme (sigma = S/5) puts ~96% of sample
+# radii under 16; offsets beyond the patch edge CLAMP to it. 16 instead of 22
+# shrinks the dominant per-keypoint patch gather (45x45 -> 33x33 = 46% fewer
+# elements) for a ~4% clamped-sample rate — measured no change on the
+# descriptor-matching / noise-robustness tests.
+PATCH_R = 16
+PATCH = 2 * PATCH_R + 1  # 33
 
 
 class ORBConfig(NamedTuple):

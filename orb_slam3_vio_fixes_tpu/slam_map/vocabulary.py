@@ -150,13 +150,18 @@ def load(path: str) -> Vocabulary:
 
 
 def default_vocabulary() -> Vocabulary:
-    """The checked-in 10^4-word vocabulary artifact (the framework's
-    ORBvoc.txt analogue; trained by scripts/train_default_vocab.py)."""
+    """The checked-in vocabulary artifact (the framework's ORBvoc.txt
+    analogue). Prefers the production 10^5-word b10d5 artifact
+    (scripts/train_vocab_large.py); falls back to the 10^4 b10d4 one
+    (scripts/train_default_vocab.py)."""
     import os
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "assets", "vocab_b10d4.npz")
-    return load(path)
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+    large = os.path.join(base, "vocab_b10d5.npz")
+    if os.path.exists(large):
+        return load(large)
+    return load(os.path.join(base, "vocab_b10d4.npz"))
 
 
 @functools.partial(jax.jit, static_argnames=())
