@@ -95,15 +95,22 @@ class Relocalizer:
     src/KeyFrameDatabase.cc:733) and tries candidates until one verifies."""
 
     def __init__(self, vocab: voc.Vocabulary, db_ref,
-                 cfg: RelocConfig = RelocConfig()):
+                 cfg: RelocConfig = RelocConfig(), mesh=None):
         """db_ref: callable returning the live voc.KeyFrameDatabase (the
         LoopCloser owns and grows it; sharing one DB mirrors the reference,
-        where loop closing and relocalization query the same inverted file)."""
+        where loop closing and relocalization query the same inverted file).
+
+        mesh: optional jax.sharding.Mesh — enables the sharded GLOBAL
+        descriptor search (parallel.sharded_matching.sharded_global_bind):
+        the frame is matched against the whole landmark table row-sharded
+        over the mesh, skipping BoW candidate retrieval entirely."""
         self.vocab = vocab
         self.db_ref = db_ref
         self.cfg = cfg
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(13)
         self.n_success = 0
+        self.n_success_global = 0
 
     def candidates(self, state: ms.MapState, frame: FrameData):
         hist = voc.bow_histogram(
@@ -115,9 +122,64 @@ class Relocalizer:
         )
         return [int(i) for i in np.asarray(ids) if i >= 0]
 
+    def _relocalize_global(self, state: ms.MapState, frame: FrameData,
+                           cam: Camera, bf, tcfg: trk.TrackerConfig):
+        """Mesh path: one sharded whole-map descriptor search binds frame
+        features to landmarks directly, then the same PnP + widen + verify
+        chain as the per-candidate path. Returns result tuple or None."""
+        from orb_slam3_vio_fixes_tpu.parallel import sharded_matching as sm
+
+        L = state.lm_desc.shape[0]
+        n_dev = self.mesh.shape["db"] if "db" in self.mesh.shape else (
+            self.mesh.devices.size)
+        axis = "db" if "db" in self.mesh.shape else self.mesh.axis_names[0]
+        if L % n_dev != 0:
+            return None     # capacity tiers are powers of two — already even
+        lm_ids = sm.sharded_global_bind(
+            frame.desc, frame.valid, state.lm_desc, state.lm_valid,
+            self.mesh, axis=axis)
+        matched = np.asarray(lm_ids) >= 0
+        if matched.sum() < self.cfg.min_bow_matches:
+            return None
+        X = state.lm_pos[jnp.clip(lm_ids, 0, L - 1)]
+        inv_s2 = trk.octave_inv_sigma2(tcfg.orb)[
+            jnp.clip(frame.octave, 0, tcfg.orb.n_levels - 1)]
+        self.key, sub = jax.random.split(self.key)
+        pr = pnp.pnp_ransac(
+            sub, X, frame.uv, jnp.asarray(matched), inv_s2, cam,
+            n_hyp=self.cfg.n_hyp, min_inliers=self.cfg.min_pnp_inliers)
+        if not bool(pr.success):
+            return None
+        cur_obs = jnp.where(jnp.asarray(matched) & pr.inliers, lm_ids, -1)
+        R1, t1, cur_obs, _ = trk.pose_opt_from_obs(
+            state, pr.R, pr.t, frame, cur_obs, cam, bf, tcfg)
+        # local window from the anchor keyframes of the inlier landmarks
+        anchors = np.asarray(state.lm_first_kf)[
+            np.asarray(jnp.clip(lm_ids, 0, L - 1))][
+            np.asarray(cur_obs) >= 0]
+        W = tcfg.ba_window + tcfg.ba_fixed
+        top = np.full(W, -1, np.int32)
+        if anchors.size:
+            uniq, counts = np.unique(anchors[anchors >= 0],
+                                     return_counts=True)
+            sel = uniq[np.argsort(-counts)][:W]
+            top[: len(sel)] = sel
+        R2, t2, cur_obs, n2 = trk.track_local_map(
+            state, R1, t1, frame, cur_obs, jnp.asarray(top), cam, bf,
+            jnp.float32(2.0), tcfg)
+        if int(n2) < self.cfg.accept_inliers:
+            return None
+        self.n_success += 1
+        self.n_success_global += 1
+        return R2, t2, cur_obs, int(n2)
+
     def relocalize(self, state: ms.MapState, frame: FrameData,
                    cam: Camera, bf, tcfg: trk.TrackerConfig):
         """Returns (R, t, cur_obs, n_inliers) or None."""
+        if self.mesh is not None:
+            hit = self._relocalize_global(state, frame, cam, bf, tcfg)
+            if hit is not None:
+                return hit
         cov = None
         for cand in self.candidates(state, frame):
             if cov is None:

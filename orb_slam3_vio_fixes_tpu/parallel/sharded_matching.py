@@ -102,3 +102,36 @@ def sharded_match(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(query_desc, query_valid, db_desc, db_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "max_dist",
+                                             "ratio"))
+def sharded_global_bind(
+    frame_desc,     # (N, 8) uint32 — the current frame's descriptors
+    frame_valid,    # (N,) bool
+    lm_desc,        # (L, 8) uint32 — the MAP's landmark descriptor table,
+    lm_valid,       # (L,) bool      row-sharded over `axis` (L % n_dev == 0)
+    mesh: Mesh,
+    axis: str = "db",
+    max_dist: int = matching.TH_LOW,
+    ratio: float = 0.75,
+):
+    """Tracker-side sharded matching: bind every frame feature to its
+    globally best map landmark by descriptor alone — the landmark table is
+    row-sharded over the mesh, each shard computes (N, L/d) Hamming blocks,
+    winners combine in one packed min-reduction (O(N) scalars over ICI).
+
+    This is the relocalization global search at map scale: the single-chip
+    reference walks the BoW inverted file per candidate keyframe
+    (src/Tracking.cc:3609-3777); with the map sharded, matching the frame
+    against EVERY landmark costs L/d work per chip and needs no candidate
+    retrieval at all. Returns (N,) landmark ids (-1 unmatched); Lowe ratio
+    and absolute-distance gates applied."""
+    idx, best, second = sharded_match(
+        frame_desc, frame_valid, lm_desc, lm_valid, mesh, axis=axis,
+        max_dist=max_dist)
+    # strict Lowe ratio: a 0-distance tie (best == second == 0) must REJECT —
+    # two identical landmarks cannot be disambiguated by appearance
+    ok = (idx >= 0) & (best.astype(jnp.float32)
+                       < ratio * second.astype(jnp.float32))
+    return jnp.where(ok, idx, -1)

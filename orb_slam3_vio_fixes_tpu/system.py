@@ -127,7 +127,7 @@ class SLAMSystem:
                 bf=(s.bf or 0.0) if (sensor.is_stereo or sensor.is_rgbd)
                 else 0.0,
                 n_levels=cfg.orb.n_levels, scale=cfg.orb.scale, mesh=mesh)
-            reloc = rl_mod.Relocalizer(vocab, lambda: closer.db)
+            reloc = rl_mod.Relocalizer(vocab, lambda: closer.db, mesh=mesh)
             atl = atlas_mod.Atlas(
                 map_cfg, vocab, s.cam1, inv_s2,
                 atlas_mod.AtlasConfig(fix_scale=not sensor.is_monocular))

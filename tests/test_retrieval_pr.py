@@ -73,3 +73,82 @@ def test_retrieval_precision_recall_at_capacity():
             hits += 1
     recall = hits / n_q
     assert recall >= 0.75, f"retrieval recall {recall:.2f} at K={K_DB}"
+
+
+@pytest.mark.slow
+def test_retrieval_at_1024_keyframes_grouped():
+    """Retrieval precision at a REALISTIC map size (round-4 verdict item 4):
+    a 1,024-keyframe database — 256 distinct places x 4 views each, built
+    from real rendered descriptors — queried with held-out 5th views through
+    db_query_grouped (the reference's covisibility-group accumulation,
+    src/KeyFrameDatabase.cc:604-733). At this scale a 10^4-word vocabulary's
+    word collisions crush precision; the checked-in production artifact must
+    keep grouped top-1 precision high."""
+    rng = np.random.default_rng(21)
+    vocab = voc.default_vocabulary()
+    assert vocab.weights.shape[0] >= 10**5, (
+        "production vocabulary artifact (>=10^5 words) missing")
+
+    # real descriptor pool from a few rendered frames
+    ocfg = orb.ORBConfig(n_features=512, n_levels=4)
+    cam = Camera.pinhole(260.0, 260.0, 176.0, 120.0)
+    bf = jnp.float32(52.0)
+    pool = []
+    for seed in range(4):
+        r2 = np.random.default_rng(100 + seed)
+        world = synthetic.make_world(r2, n_points=700, extent=8.0,
+                                     depth_range=(3.0, 11.0))
+        seq = synthetic.make_stereo_sequence(
+            r2, n_frames=6, h=240, w=352, fx=260.0, baseline=0.2, world=world)
+        for i in range(6):
+            f = build_stereo_frame(jnp.asarray(seq.imgs_l[i]),
+                                   jnp.asarray(seq.imgs_r[i]),
+                                   jnp.float32(0.0), cam, bf, ocfg)
+            pool.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    pool = np.concatenate(pool)
+
+    n_place, views, per_kf = 256, 4, 300
+    K = n_place * views
+    base_sets = [pool[rng.choice(len(pool), per_kf, replace=False)]
+                 for _ in range(n_place)]
+
+    def view_of(p, r):
+        d = base_sets[p].copy()
+        keep = r.random(per_kf) > 0.3          # drop 30%
+        extra = pool[r.choice(len(pool), per_kf, replace=False)]
+        d = np.where(keep[:, None], d, extra)  # replaced by distractors
+        flip = (np.uint32(1) << r.integers(0, 32, d.shape).astype(np.uint32))
+        d = np.where(r.random(d.shape) < 0.2, d ^ flip, d)
+        return d
+
+    hists = np.zeros((K, vocab.weights.shape[0]), np.float32)
+    for p in range(n_place):
+        for v in range(views):
+            d = view_of(p, np.random.default_rng(1000 * p + v))
+            h = voc.bow_histogram(vocab, voc.assign_words(
+                vocab, jnp.asarray(d), jnp.ones(per_kf, bool)))
+            hists[p * views + v] = np.asarray(h)
+
+    db = voc.KeyFrameDatabase(jnp.asarray(hists))
+    # covisibility: same-place keyframes share points; others don't
+    place_of = np.repeat(np.arange(n_place), views)
+    cov = (place_of[:, None] == place_of[None, :]).astype(np.float32) * 50.0
+    np.fill_diagonal(cov, 0.0)
+    cov_j = jnp.asarray(cov)
+
+    n_q, top1_hits, top3_hits = 48, 0, 0
+    for qi in range(n_q):
+        p = int(rng.integers(0, n_place))
+        d = view_of(p, np.random.default_rng(7_000_000 + qi))
+        h = voc.bow_histogram(vocab, voc.assign_words(
+            vocab, jnp.asarray(d), jnp.ones(per_kf, bool)))
+        ids, _ = voc.db_query_grouped(
+            db, h, cov_j, jnp.zeros(K, bool), jnp.float32(0.0), n_best=3)
+        ids = np.asarray(ids)
+        got = place_of[ids[ids >= 0]] if (ids >= 0).any() else []
+        if len(got) and got[0] == p:
+            top1_hits += 1
+        if p in list(got):
+            top3_hits += 1
+    assert top1_hits / n_q >= 0.85, f"grouped top-1 {top1_hits}/{n_q}"
+    assert top3_hits / n_q >= 0.95, f"grouped top-3 {top3_hits}/{n_q}"

@@ -51,3 +51,68 @@ def test_sharded_match_parity_8_devices():
     # ties may resolve to a different row with the same distance
     same = dist[np.arange(Q), np.clip(idx, 0, D - 1)] == ref_best
     assert same[live].all()
+
+
+def test_sharded_match_ragged_tail_parity():
+    """D not divisible by the shard count: the pad rows land in the LAST
+    shard and must not perturb best/second-best across shard boundaries
+    (round-4 verdict weak #8 — the ragged tail hitting the ratio logic)."""
+    rng = np.random.default_rng(3)
+    n_dev = min(8, jax.device_count())
+    Q, D = 48, 8 * 137 + 5          # ragged: 1101 rows, pad 3 invalid rows
+    q = rng.integers(0, 2**32, (Q, 8), dtype=np.uint32)
+    db = rng.integers(0, 2**32, (D, 8), dtype=np.uint32)
+    # plant near-duplicates whose best and second-best live in DIFFERENT
+    # shards (rows far apart, non-overlapping), so the cross-shard
+    # second-best path is hit
+    for k in range(16):
+        a, b = k * 30, 950 + k * 9
+        db[a] = q[k]
+        db[b] = q[k]
+        db[b, 0] ^= 0x3          # 2-bit-away second best in another shard
+    qv = np.ones(Q, bool)
+    dv = np.ones(D, bool)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("db",))
+    db_p, dv_p = sm.pad_database(db, dv, n_dev)
+    assert db_p.shape[0] % n_dev == 0 and db_p.shape[0] >= D
+    idx, best, second = sm.sharded_match(
+        jnp.asarray(q), jnp.asarray(qv), db_p, dv_p, mesh, max_dist=300)
+
+    dist = np.array(matching.hamming_matrix(jnp.asarray(q), jnp.asarray(db)))
+    ref_idx = dist.argmin(1)
+    ref_best = dist.min(1)
+    d2 = dist.copy()
+    d2[np.arange(Q), ref_idx] = 1 << 20
+    ref_second = d2.min(1)
+
+    np.testing.assert_array_equal(np.asarray(best), ref_best)
+    np.testing.assert_array_equal(np.asarray(second), ref_second)
+    for k in range(16):
+        assert int(np.asarray(idx)[k]) == k * 30
+        assert int(np.asarray(best)[k]) == 0
+        assert int(np.asarray(second)[k]) == 2
+
+
+def test_sharded_global_bind_ratio_gate():
+    """sharded_global_bind applies the Lowe ratio over the GLOBAL second
+    best: a query with two near-equal matches in different shards must be
+    rejected; a unique match must bind."""
+    rng = np.random.default_rng(4)
+    n_dev = min(8, jax.device_count())
+    N, L = 32, 8 * 64
+    q = rng.integers(0, 2**32, (N, 8), dtype=np.uint32)
+    db = rng.integers(0, 2**32, (L, 8), dtype=np.uint32)
+    db[3] = q[0]                    # unique: exact, next-best far
+    db[10] = q[1]
+    db[L - 5] = q[1]                # identical twin in another shard:
+    # best == second == 0 -> the strict Lowe ratio must reject the tie
+    qv = np.ones(N, bool)
+    dv = np.ones(L, bool)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("db",))
+    ids = sm.sharded_global_bind(
+        jnp.asarray(q), jnp.asarray(qv), jnp.asarray(db), jnp.asarray(dv),
+        mesh)
+    ids = np.asarray(ids)
+    assert ids[0] == 3, "unique exact match must bind"
+    assert ids[1] == -1, "ambiguous cross-shard match must fail the ratio"
