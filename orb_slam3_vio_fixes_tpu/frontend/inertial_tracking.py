@@ -108,7 +108,8 @@ class BodyState(NamedTuple):
     ba: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "icfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "icfg", "n_rounds",
+                                             "n_iters"))
 def vi_motion_opt(
     state: ms.MapState,
     prev: BodyState,              # previous frame body state
@@ -121,6 +122,8 @@ def vi_motion_opt(
     calib: pre.ImuCalib,
     cfg: trk.TrackerConfig,
     icfg: InertialConfig,
+    n_rounds: int = 2,
+    n_iters: int = 5,
 ):
     """Joint visual+inertial motion-only optimization for the current frame
     (reference: PoseInertialOptimizationLastFrame src/Optimizer.cc:4883-5298
@@ -168,7 +171,8 @@ def vi_motion_opt(
         cam=cam, bf=bf, R_cb=calib.R_bc.T,
         t_cb=-calib.R_bc.T @ calib.t_bc,
     )
-    out, inlier, H = vi_ba.solve_vi_ba(prob, vi_ba.VIBAConfig(n_rounds=2, n_iters=5))
+    out, inlier, H = vi_ba.solve_vi_ba(
+        prob, vi_ba.VIBAConfig(n_rounds=n_rounds, n_iters=n_iters))
     st = out.states
     new_obs = jnp.where(inlier | ~act, cur_obs, -1)
     n_inl = jnp.sum((inlier & act).astype(jnp.int32))
@@ -228,15 +232,25 @@ def vi_track_step(
     cur_obs, n_m = jax.lax.cond(
         n_m0 < 20, wide, lambda _: (cur_obs0, n_m0), None)
 
+    # first joint opt from the IMU-predicted seed: one chi2 round of 4
+    # iterations is enough to tighten the pose for the local-map windows
+    # (the reference's 4x10 starts from a cruder seed); the second opt after
+    # widening carries the full gating schedule and produces the marginal
+    # first joint opt from the IMU-predicted seed: one chi2 round of 4
+    # iterations tightens the pose enough for the local-map search windows
+    # (the reference's 4x10 starts from a cruder seed)
     cur_body, cur_obs, _, _ = vi_motion_opt(
         state, body, prior_H, cur_pred, pre_frame, frame, cur_obs,
-        cam, bf, calib, cfg, icfg)
+        cam, bf, calib, cfg, icfg, n_rounds=1, n_iters=4)
     R1, t1 = cam_from_body(cur_body.R_wb, cur_body.p_wb, R_cb, t_cb)
-    _, _, cur_obs, _ = trk.track_local_map(
+    # search-only widen: the joint VI opt below re-optimizes the pose, so
+    # the visual-only pose refinement inside track_local_map would be
+    # discarded work
+    cur_obs = trk.local_map_search(
         state, R1, t1, frame, cur_obs, window_kfs, cam, bf, th_local, cfg)
     cur_body, cur_obs, n_inl2, next_H = vi_motion_opt(
         state, body, prior_H, cur_body, pre_frame, frame, cur_obs,
-        cam, bf, calib, cfg, icfg)
+        cam, bf, calib, cfg, icfg, n_rounds=2, n_iters=5)
     R2, t2 = cam_from_body(cur_body.R_wb, cur_body.p_wb, R_cb, t_cb)
 
     baseline = bf / cam.fx
@@ -572,32 +586,22 @@ class StereoInertialTracker(trk.StereoTracker):
             self.prior_H = next_H
             self.velocity_log.append(packed_np[16:19])
         else:
-            pre_frame = pre.integrate(
-                self._pad_frame_imu(imu_np), bg, ba, self.calib)
+            # pre-init: pure-visual tracking through the SAME fused per-frame
+            # program as the visual tracker (one device call + one pull; the
+            # old split path dispatched ~6 programs and synced on int(n_m)
+            # every frame, dominating the bootstrap seconds)
             cur_pred = None
-            if self.vel is not None:
-                dR, dt = self.vel
-                R_pred = dR @ self.R
-                t_pred = dR @ self.t + dt
-            else:
-                R_pred, t_pred = self.R, self.t
-            cur_obs, n_m = trk.match_previous(
+            has_vel = self.vel is not None
+            dRv, dtv = self.vel if has_vel else (self._EYE3, self._ZERO3)
+            _, (th_n, th_w, th_l) = self._th_tuple(self._local_search_th())
+            (R2, t2, cur_obs, packed, R_pred, t_pred, dR_new,
+             dt_new) = trk.track_step(
                 self.state, self.prev_obs, self.prev_octave, self.prev_angle,
-                R_pred, t_pred, frame, self.cam, self.bf,
-                jnp.float32(self.match_radius[0]), cfg,
-            )
-            if int(n_m) < 20:
-                cur_obs, n_m = trk.match_previous(
-                    self.state, self.prev_obs, self.prev_octave,
-                    self.prev_angle, R_pred, t_pred, frame, self.cam,
-                    self.bf, jnp.float32(self.match_radius[1]), cfg,
-                )
-            R1, t1, cur_obs, n_inl = trk.pose_opt_from_obs(
-                self.state, R_pred, t_pred, frame, cur_obs, self.cam, self.bf, cfg)
-            R2, t2, cur_obs, n_inl2 = trk.track_local_map(
-                self.state, R1, t1, frame, cur_obs, window, self.cam, self.bf,
-                jnp.float32(self._local_search_th()), cfg,
-            )
+                self.R, self.t, dRv, dtv, frame, window, self.cam, self.bf,
+                th_n, th_w, th_l, cfg, has_vel=has_vel)
+            packed_np = np.asarray(packed)
+            n_inl2 = packed_np[13]
+            self._frame_stats = packed_np[12:16].astype(np.int64)
             # keep a body-state shadow for the init stage
             R_wb, p_wb = body_from_cam(
                 R2, t2, self.calib.R_bc.T, -self.calib.R_bc.T @ self.calib.t_bc)
@@ -657,9 +661,18 @@ class StereoInertialTracker(trk.StereoTracker):
             self._pose_np = (R2n, t2n)
             self._set_frame(frame, R2, t2, cur_obs)
             self.frames_since_kf += 1
-            need_kf = self._need_keyframe(frame, cur_obs, n_inl2_i)
+            need_kf = self._need_keyframe(frame, cur_obs, n_inl2_i) or (
+                not self.imu_ready and self.frames_since_kf >= 5)
             if need_kf and not self.localization_only:
                 self._insert_keyframe_inertial(frame, R2, t2, cur_obs, ts)
+                if self.R is not R2:
+                    # IMU init / inertial window BA / a loop correction
+                    # rebased the tracker inside the insert — the host pose
+                    # mirror is stale; record/return the rebased pose
+                    self._pose_np = None
+                    self._record(ts)
+                    return (np.asarray(self.R), np.asarray(self.t),
+                            self.track_state)
             self._record_np(ts, R2n, t2n)
             return R2n, t2n, self.track_state
         dR = lie.so3_normalize(R2 @ self.R.T)

@@ -339,8 +339,7 @@ def pose_opt_from_obs(
     return res.R, res.t, new_obs, res.n_inliers
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def track_local_map(
+def local_map_search(
     state: ms.MapState,
     R, t,
     frame: FrameData,
@@ -350,10 +349,11 @@ def track_local_map(
     th: jax.Array,
     cfg: TrackerConfig,
 ):
-    """Project the local map (landmarks of the window keyframes) and widen the
-    frame's bindings, then re-optimize the pose
-    (reference: TrackLocalMap src/Tracking.cc:2949-3062 + SearchLocalPoints
-    :3343-3413 with frustum checks in Frame::isInFrustum)."""
+    """Project the local map (landmarks of the window keyframes) and widen
+    the frame's bindings — the search half of TrackLocalMap (reference:
+    SearchLocalPoints src/Tracking.cc:3343-3413 with frustum checks in
+    Frame::isInFrustum). Returns the widened cur_obs; callers that
+    re-optimize jointly (the VI tracker) use this directly."""
     K, N = state.kf_obs.shape
     L = state.lm_pos.shape[0]
     safe_w = jnp.clip(window_kfs, 0, K - 1)
@@ -404,7 +404,26 @@ def track_local_map(
     cur_obs = cur_obs.at[tgt].set(
         jnp.where(matched, cand_idx.astype(jnp.int32), cur_obs[tgt])
     )
-    R2, t2, cur_obs, n_inl = pose_opt_from_obs(state, R, t, frame, cur_obs, cam, bf, cfg)
+    return cur_obs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    state: ms.MapState,
+    R, t,
+    frame: FrameData,
+    cur_obs,
+    window_kfs,
+    cam: Camera, bf,
+    th: jax.Array,
+    cfg: TrackerConfig,
+):
+    """SearchLocalPoints + the second pose optimization (reference:
+    TrackLocalMap src/Tracking.cc:2949-3062)."""
+    cur_obs = local_map_search(
+        state, R, t, frame, cur_obs, window_kfs, cam, bf, th, cfg)
+    R2, t2, cur_obs, n_inl = pose_opt_from_obs(
+        state, R, t, frame, cur_obs, cam, bf, cfg)
     return R2, t2, cur_obs, n_inl
 
 

@@ -98,3 +98,39 @@ def test_gt_mh01_mono_inertial_metric():
     rmse_s, scale, _ = ate.ate_rmse(seq.ts, seq.t_wc, est_ts, est_pos,
                                     with_scale=True)
     assert abs(scale - 1.0) < 0.25, f"scale error {scale:.3f}"
+
+
+@pytest.mark.slow
+def test_gt_mh01_stereo_inertial_ate_noisy():
+    """The same GT-trajectory stereo-inertial gate with REALISTIC sensors
+    (round-4 verdict item 3): photometric degradation on both eyes
+    (noise + blur + exposure/vignette drift + occluders, DEFAULT_NOISE) and
+    EuRoC-class IMU white noise + bias random walk (perturb_imu). The ATE
+    bound is 2x the clean gate's — the front end must survive, not match,
+    the ideal-sensor number."""
+    seq = _seq("MH01_GT.txt")
+    rng = np.random.default_rng(13)
+    seq = synthetic.degrade_stereo(seq, rng)
+    seq = seq._replace(imu=synthetic.perturb_imu(seq.imu, rng))
+    cfg = _cfg()
+    icfg = it.InertialConfig(
+        frame_samples=16, kf_samples=256, init_min_kfs=6, init_min_time=1.0,
+        vi_window=6, max_local_lm=1024, fix_scale=True,
+    )
+    calib = pre.ImuCalib.make(1.7e-4, 2e-3, 1.9e-5, 3e-3, seq.imu_hz)
+    cam = Camera.pinhole(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = it.StereoInertialTracker(cam, seq.K[0, 0] * seq.baseline, calib,
+                                  cfg, icfg)
+    tr.match_radius = (12.0, 24.0)
+    n = seq.imgs_l.shape[0]
+    for i in range(n):
+        imu = seq.imu[i - 1] if i > 0 else np.zeros((0, 7), np.float32)
+        tr.process_stereo_inertial(seq.imgs_l[i], seq.imgs_r[i], seq.ts[i],
+                                   imu)
+    assert tr.track_state == tracking.TrackState.OK
+    assert tr.imu_ready, "IMU never initialized under sensor noise"
+    est_ts = np.array([x[0] for x in tr.trajectory])
+    est_pos = np.array([-x[1].T @ x[2] for x in tr.trajectory])
+    rmse, _, n_a = ate.ate_rmse(seq.ts, seq.t_wc, est_ts, est_pos)
+    assert n_a == n
+    assert rmse < 0.10, f"noisy stereo-inertial MH01 ATE {rmse:.4f}"
