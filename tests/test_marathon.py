@@ -127,9 +127,12 @@ def test_marathon_loops_kidnap_merge():
         f"expected >=2 loop corrections, got {closer.n_corrections}")
     assert atl.n_merges >= 1, "the return to the circle never merged back"
     assert tr._kf_created_reused > 0, "keyframe slots were never reused"
-    # culling must bound capacity growth (64 -> at most 256 over ~330 KFs)
-    assert tr.cfg.map.max_keyframes <= 256, tr.cfg.map.max_keyframes
-    assert len(tr.kf_order) <= tr.cfg.map.max_keyframes
+    # Capacity bounding: the LIVE keyframe count is what culling must hold
+    # down (~330 keyframes are created over the run); the slot high-water
+    # additionally absorbs the merge's slot transfer (merged n_kf = stored
+    # map slots + active map slots), so the tier ceiling is looser.
+    assert len(tr.kf_order) <= 220, f"culling failed: {len(tr.kf_order)} live"
+    assert tr.cfg.map.max_keyframes <= 512, tr.cfg.map.max_keyframes
 
     # --- no monotonic slowdown: late-phase median vs early steady-state ---
     wall = np.asarray(frame_wall)
